@@ -1,0 +1,186 @@
+"""Typed configuration for the two pipelines.
+
+The reference scatters its knobs across two ROS param servers
+(``ltslam/src/RosParamServer.cpp:4-26``, ``ltremovert/src/RosParamServer.cpp:4-63``)
+plus many hard-coded constants inside algorithm bodies (ICP search num 25 at
+``ltslam/src/LTslam.cpp:199``, RS ball radius 10.0 at ``:471``, ND/PD filter
+resolution 2.5 at ``:1397-1410``, reprojection alpha 3.0 at
+``ltremovert/include/removert/Session.h:13`` ...).  Here every knob is an
+explicit dataclass field with the reference default, loadable from YAML.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+__all__ = ["ScanContextConfig", "ICPConfig", "SolverConfig", "LTSlamConfig", "RemovertConfig", "load_yaml", "save_yaml"]
+
+
+@dataclass
+class ScanContextConfig:
+    """Scan Context geometry (reference ``ltslam/include/ltslam/Scancontext.h:84-104``)."""
+
+    num_ring: int = 20
+    num_sector: int = 60
+    max_radius: float = 80.0
+    lidar_height: float = 2.0
+    search_ratio: float = 0.1          # ±10% column-shift window around sector-key argmin
+    dist_threshold: float = 0.3        # SC_DIST_THRES
+    num_candidates: int = 3            # NUM_CANDIDATES_FROM_TREE
+    full_shift_search: bool = False    # True: search all shifts (superset of ref pruning)
+
+
+@dataclass
+class ICPConfig:
+    """PCL IterativeClosestPoint settings (``ltslam/src/LTslam.cpp:206-211``)."""
+
+    max_correspondence_distance: float = 150.0
+    max_iterations: int = 100
+    transformation_epsilon: float = 1e-6
+    euclidean_fitness_epsilon: float = 1e-6
+    # submap assembly (``ltslam/src/LTslam.cpp:199``, ``ltslam/src/Session.cpp:18``)
+    history_search_num: int = 25
+    submap_voxel_size: float = 0.3
+    # padded capacities (TPU fixed shapes)
+    source_capacity: int = 4096
+    target_capacity: int = 32768
+
+
+@dataclass
+class SolverConfig:
+    """Levenberg-Marquardt + CG settings for the pose-graph solver."""
+
+    max_outer_iterations: int = 30
+    cg_iterations: int = 250
+    cg_tol: float = 1e-7
+    lambda_init: float = 1e-4
+    lambda_up: float = 10.0
+    lambda_down: float = 0.3
+    # Cauchy robust kernel k (reference Cauchy::Create(1), ``LTslam.cpp:130``)
+    cauchy_k: float = 1.0
+    dtype: str = "float32"
+
+
+@dataclass
+class LTSlamConfig:
+    """Mirrors ``ltslam/config/params.yaml`` + hard-coded constants."""
+
+    sessions_dir: str = ""
+    central_sess_name: str = "01"
+    query_sess_name: str = "02"
+    save_directory: str = "./out/"
+    is_display_debug_msgs: bool = False
+    loop_fitness_score_threshold: float = 0.7   # sample yaml value (default 0.5)
+    num_sc_loops_upper_bound: int = 1000
+    num_rs_loops_upper_bound: int = 0
+    rs_ball_radius: float = 10.0                # hard-coded 10.0 (``LTslam.cpp:471``)
+
+    # noise variances, tangent order [w, w, w, v, v, v] (``LTslam.cpp:100-133``)
+    prior_variances: Tuple[float, ...] = (1e-12,) * 6
+    odom_variances: Tuple[float, ...] = (1e-4,) * 6
+    loop_variances: Tuple[float, ...] = (1e-4, 1e-4, 1e-4, 1e-3, 1e-3, 1e-3)
+    large_variances: Tuple[float, ...] = (9.8696044, 9.8696044, 9.8696044, 1e8, 1e8, 1e8)
+    robust_variances: Tuple[float, ...] = (0.5,) * 6
+
+    # padded capacities
+    max_nodes_per_session: int = 1024
+    scan_capacity: int = 8192
+
+    scan_context: ScanContextConfig = field(default_factory=ScanContextConfig)
+    icp: ICPConfig = field(default_factory=ICPConfig)
+    solver: SolverConfig = field(default_factory=SolverConfig)
+
+
+@dataclass
+class RemovertConfig:
+    """Mirrors ``ltremovert/config/params_ltmapper.yaml`` + constants."""
+
+    central_sess_scan_dir: str = ""
+    central_sess_pose_path: str = ""
+    query_sess_scan_dir: str = ""
+    query_sess_pose_path: str = ""
+    save_pcd_directory: str = "./out/"
+    save_map_pcd: bool = True
+    save_clean_scans_pcd: bool = True
+
+    # FOV / range-image
+    vfov: float = 50.0
+    hfov: float = 360.0
+    remove_resolution_list: List[float] = field(default_factory=lambda: [2.5])
+    revert_resolution_list: List[float] = field(default_factory=lambda: [2.2])
+    repeat_removert_iter: int = 1
+    reprojection_alpha: float = 3.0          # Session.h:13 kReprojectionAlpha
+    nd_pd_filter_resolution: float = 2.5     # Removerter.cpp:1397,1407
+    nd_pd_filter_repeats: int = 3
+    diff_threshold: float = 0.1              # default in calcDescrepancy...
+    valid_diff_upper_bound: float = 200.0    # kValidDiffUpperBound (utility.h:94)
+    no_point_flag: float = 10000.0           # kFlagNoPOINT (utility.h:93)
+
+    # keyframe parsing
+    start_idx: int = 0
+    end_idx: int = 10_000_000
+    keyframe_gap: int = 1
+    roi_inplace_threshold: float = 10.0      # parseKeyframesInROI inplace_thres
+
+    # precleaning (``Removerter.cpp:1660``, ``Session.cpp:506-533``)
+    preclean_radius: float = 2.5
+    preclean_z_band: float = 0.5
+
+    # density / kNN
+    downsample_voxel_size: float = 0.05
+    num_knn_points: int = 2                  # kNumKnnPointsToCompare
+    knn_avg_sqdist_threshold: float = 0.01   # kScanKnnAndMapKnnAvgDiffThreshold (squared m)
+    weak_to_strong_sqdist_threshold: float = 1.0  # Session.cpp:469
+
+    # extrinsic lidar->base (row-major 4x4)
+    extrinsic_lidar_to_base: Tuple[float, ...] = (
+        1.0, 0.0, 0.0, 0.0,
+        0.0, 1.0, 0.0, 0.0,
+        0.0, 0.0, 1.0, 0.0,
+        0.0, 0.0, 0.0, 1.0,
+    )
+
+    # padded capacities (TPU fixed shapes)
+    max_keyframes: int = 128
+    scan_capacity: int = 16384
+    map_capacity: int = 1 << 20
+    delta_map_capacity: int = 1 << 18
+
+
+# ---------------------------------------------------------------------------
+# YAML round-trip
+# ---------------------------------------------------------------------------
+
+def _from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or f.name in ("scan_context", "icp", "solver"):
+            sub_cls = {"scan_context": ScanContextConfig, "icp": ICPConfig, "solver": SolverConfig}[f.name]
+            v = _from_dict(sub_cls, v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def load_yaml(path: str, kind: str = "ltslam"):
+    """Load an ``LTSlamConfig``/``RemovertConfig`` from a YAML file."""
+    import yaml
+
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    # tolerate a single top-level namespace key (reference yaml style)
+    if len(d) == 1 and isinstance(next(iter(d.values())), dict):
+        d = next(iter(d.values()))
+    cls = LTSlamConfig if kind == "ltslam" else RemovertConfig
+    return _from_dict(cls, d)
+
+
+def save_yaml(cfg, path: str):
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(dataclasses.asdict(cfg), f, sort_keys=False)
