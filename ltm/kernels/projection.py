@@ -1,0 +1,167 @@
+"""Range-image projection and visibility-discrepancy kernels.
+
+This is the hot path of LT-removert: the reference projects the whole global
+map into every keyframe's spherical range image with an OpenMP scatter-min
+that *tolerates a data race* (``ltremovert/src/utility.cpp:92-142``,
+``ltremovert/src/Removerter.cpp:109-156``) and collects per-pixel winning
+point ids.  The TPU formulation is deterministic and fixed-shape:
+
+  * ``range_image``   — scatter-min of point ranges into the pixel grid
+    (XLA ``scatter-min``; race-free by construction);
+  * winner test      — a point "owns" its pixel iff its range equals the
+    pixel minimum (gather + compare), replacing the ptidx image;
+  * ``discrepancy_mask`` — the Removert rule: pixel diff = scan − map (or
+    reversed for ND checks, ``Removerter.cpp:516``); a winning map point is
+    dynamic iff ``thres < diff < upper``
+    (``calcDescrepancyAndParseDynamicPointIdx``, ``Removerter.cpp:381-413``).
+
+Everything is jit/vmap-safe with static image shapes; sweeps over keyframes
+stream with ``lax.map`` and OR-reduce boolean masks over the fixed-size map.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "rimg_shape",
+    "spherical_project",
+    "range_image",
+    "winner_mask",
+    "discrepancy_mask",
+    "sweep_discrepancy",
+    "sweep_visibility",
+]
+
+NO_POINT = 10000.0        # kFlagNoPOINT (ltremovert/include/removert/utility.h:93)
+VALID_DIFF_UB = 200.0     # kValidDiffUpperBound (utility.h:94)
+
+
+def rimg_shape(fov: Tuple[float, float], alpha: float) -> Tuple[int, int]:
+    """Image rows/cols for a FOV at resolution multiplier alpha
+    (reference ``resetRimgSize``, ``ltremovert/src/utility.cpp:222-236``)."""
+    vfov, hfov = fov
+    return int(round(vfov * alpha)), int(round(hfov * alpha))
+
+
+def spherical_project(xyz: jax.Array, fov: Tuple[float, float], shape: Tuple[int, int]):
+    """Points -> (pixel linear index, range).
+
+    Pixel formula is bit-matched to the reference
+    (``ltremovert/src/Removerter.cpp:137-138``): row/col = round() of the
+    normalized elevation/azimuth, clamped to the image.
+    """
+    vfov, hfov = float(fov[0]), float(fov[1])
+    nrow, ncol = shape
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    rxy = jnp.sqrt(x * x + y * y)
+    rng = jnp.sqrt(x * x + y * y + z * z)
+    az = jnp.degrees(jnp.arctan2(y, x))
+    el = jnp.degrees(jnp.arctan2(z, rxy))
+    row = jnp.round(nrow * (1.0 - (el + vfov / 2.0) / vfov))
+    col = jnp.round(ncol * ((az + hfov / 2.0) / hfov))
+    row = jnp.clip(row, 0, nrow - 1).astype(jnp.int32)
+    col = jnp.clip(col, 0, ncol - 1).astype(jnp.int32)
+    return row * ncol + col, rng
+
+
+def range_image(xyz: jax.Array, mask: jax.Array, fov, shape) -> jax.Array:
+    """Scatter-min range image, flattened (nrow*ncol,). Empty pixels = NO_POINT."""
+    pix, rng = spherical_project(xyz, fov, shape)
+    rng = jnp.where(mask, rng, jnp.inf)
+    n_pix = shape[0] * shape[1]
+    img = jnp.full((n_pix,), NO_POINT, xyz.dtype)
+    img = img.at[pix].min(rng, mode="drop")
+    return img
+
+
+def winner_mask(xyz: jax.Array, mask: jax.Array, fov, shape, img: jax.Array | None = None):
+    """Mask of points that win (own) their pixel in the scatter-min image.
+
+    Replaces the reference's per-pixel winning-index image
+    (``map2RangeImg`` ptidx, ``utility.cpp:104,137``): a point is visible
+    from this viewpoint iff it is the nearest point on its pixel.
+    """
+    pix, rng = spherical_project(xyz, fov, shape)
+    if img is None:
+        img = range_image(xyz, mask, fov, shape)
+    return mask & (rng <= img[pix]), pix, rng, img
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "reverse"))
+def discrepancy_mask(
+    map_xyz_local: jax.Array,
+    map_mask: jax.Array,
+    scan_xyz: jax.Array,
+    scan_mask: jax.Array,
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+    diff_threshold: float = 0.1,
+    reverse: bool = False,
+) -> jax.Array:
+    """Per-map-point dynamic mask for one keyframe (both clouds in lidar frame).
+
+    ``reverse=False``: diff = scan − map (self-removert / PD check,
+    ``Removerter.cpp:572,459``);  ``reverse=True``: diff = map − scan (ND
+    validity check, ``Removerter.cpp:516``).
+    """
+    scan_img = range_image(scan_xyz, scan_mask, fov, shape)
+    win, pix, _, map_img = winner_mask(map_xyz_local, map_mask, fov, shape)
+    diff_img = (map_img - scan_img) if reverse else (scan_img - map_img)
+    diff = diff_img[pix]
+    return win & (diff > diff_threshold) & (diff < VALID_DIFF_UB)
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "reverse"))
+def sweep_discrepancy(
+    map_xyz_global: jax.Array,      # (N, 3)
+    map_mask: jax.Array,            # (N,)
+    scans_xyz: jax.Array,           # (K, S, 3) in each keyframe's lidar frame
+    scans_mask: jax.Array,          # (K, S)
+    pose_inv: jax.Array,            # (K, 4, 4) lidar_from_global
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+    diff_threshold: float = 0.1,
+    reverse: bool = False,
+) -> jax.Array:
+    """OR over keyframes of :func:`discrepancy_mask` (the map-side removal
+    loop ``calcDescrepancyAndParseDynamicPointIdxForEachScan``,
+    ``Removerter.cpp:542-593`` — keyframes stream, map stays resident)."""
+
+    def body(carry, inp):
+        scan_xyz, scan_mask, Tinv = inp
+        local = map_xyz_global @ Tinv[:3, :3].T + Tinv[:3, 3]
+        dyn = discrepancy_mask(
+            local, map_mask, scan_xyz, scan_mask, fov, shape, diff_threshold, reverse
+        )
+        return carry | dyn, None
+
+    init = jnp.zeros(map_xyz_global.shape[:-1], bool)
+    out, _ = jax.lax.scan(body, init, (scans_xyz, scans_mask, pose_inv))
+    return out
+
+
+@partial(jax.jit, static_argnames=("fov", "shape"))
+def sweep_visibility(
+    map_xyz_global: jax.Array,
+    map_mask: jax.Array,
+    pose_inv: jax.Array,            # (K, 4, 4)
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+) -> jax.Array:
+    """OR over keyframes of the winner mask: map points visible from at least
+    one keyframe at this resolution (the reprojection used by
+    ``parseScansViaProjection``, ``ltremovert/src/Session.cpp:348-360``)."""
+
+    def body(carry, Tinv):
+        local = map_xyz_global @ Tinv[:3, :3].T + Tinv[:3, 3]
+        win, *_ = winner_mask(local, map_mask, fov, shape)
+        return carry | win, None
+
+    init = jnp.zeros(map_xyz_global.shape[:-1], bool)
+    out, _ = jax.lax.scan(body, init, pose_inv)
+    return out

@@ -1,0 +1,171 @@
+"""Scan Context retrieval: ring/sector keys + dense batched distance.
+
+Reference pipeline (``ltslam/src/Scancontext.cpp``):
+  * ring key  = row-wise means, queried through a nanoflann kd-tree for the
+    top-3 candidates (``detectLoopClosureIDBetweenSession``, ``:263-324``);
+  * sector key = column-wise means, used to pick a best circular shift, then
+    the column-cosine distance is evaluated on ±10% of shifts around it
+    (``distanceBtnScanContext``, ``:116-148``);
+  * distance  = 1 − mean over mutually non-empty columns of the column
+    cosine similarity (``distDirectSC``, ``:69-90``).
+
+TPU formulation: everything is batched dense linear algebra —
+  * all (query, target) pairs at once;
+  * the per-shift score is a single (Q, R·S) × (R·S, T) matmul; 60 shifts
+    stream through ``lax.scan`` keeping only the running min (MXU-bound,
+    no kd-trees, no per-candidate loops);
+  * ring-key candidate selection is a (Q, R) × (R, T) distance matmul +
+    ``top_k`` — exactly the kd-tree's answer, computed densely.
+
+``full_shift_search=True`` searches all shifts instead of the ±10% window
+(a superset: can only find equal-or-better alignments).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ltm.core.config import ScanContextConfig
+
+__all__ = ["ring_keys", "sector_keys", "sc_distance_matrix", "detect_loops_between_sessions"]
+
+_BIG = jnp.float32(1e9)
+
+
+def ring_keys(descs: jax.Array) -> jax.Array:
+    """(K, R, S) -> (K, R) row-wise means (``makeRingkeyFromScancontext``)."""
+    return jnp.mean(descs, axis=-1)
+
+
+def sector_keys(descs: jax.Array) -> jax.Array:
+    """(K, R, S) -> (K, S) column-wise means (``makeSectorkeyFromScancontext``)."""
+    return jnp.mean(descs, axis=-2)
+
+
+def _normalized_columns(descs: jax.Array):
+    """Unit-normalize descriptor columns; zero columns stay zero.
+
+    Returns (normalized (K,R,S), nonzero-column indicator (K,S))."""
+    norms = jnp.linalg.norm(descs, axis=-2)              # (K, S)
+    nonzero = norms > 0
+    inv = jnp.where(nonzero, 1.0 / jnp.maximum(norms, 1e-20), 0.0)
+    return descs * inv[..., None, :], nonzero
+
+
+@partial(jax.jit, static_argnames=("full_shift_search", "search_ratio"))
+def sc_distance_matrix(
+    query_descs: jax.Array,   # (Q, R, S)
+    target_descs: jax.Array,  # (T, R, S)
+    full_shift_search: bool = False,
+    search_ratio: float = 0.1,
+) -> Tuple[jax.Array, jax.Array]:
+    """All-pairs Scan Context distance + best shift.
+
+    Returns ``(dist (Q, T), shift (Q, T) int32)``.  ``shift`` is the number
+    of columns the *target* must be rolled right to align with the query —
+    the reference's ``nn_align`` whose yaw is ``shift * sector_angle``.
+    """
+    S = query_descs.shape[-1]
+    qn, qnz = _normalized_columns(query_descs)
+    tn, tnz = _normalized_columns(target_descs)
+    qn_flat = qn.reshape(qn.shape[0], -1)                      # (Q, R*S)
+    qnzf = qnz.astype(qn.dtype)                                # (Q, S)
+
+    if not full_shift_search:
+        # sector-key pre-alignment (fastAlignUsingVkey, Scancontext.cpp:93-113):
+        # argmin_s || vq - circshift(vt, s) ||^2 for all pairs via matmuls
+        vq = sector_keys(query_descs)                          # (Q, S)
+        vt = sector_keys(target_descs)                         # (T, S)
+        vq2 = jnp.sum(vq * vq, axis=-1)                        # (Q,)
+        vt2 = jnp.sum(vt * vt, axis=-1)                        # (T,)
+
+        def vkey_body(_, s):
+            vts = jnp.roll(vt, s, axis=-1)
+            cross = jnp.dot(vq, vts.T, preferred_element_type=jnp.float32)
+            return None, vq2[:, None] + vt2[None, :] - 2.0 * cross
+
+        _, vdists = jax.lax.scan(vkey_body, None, jnp.arange(S))   # (S, Q, T)
+        best_vshift = jnp.argmin(vdists, axis=0).astype(jnp.int32)  # (Q, T)
+        radius = round(0.5 * search_ratio * S)
+
+    def body(carry, s):
+        best_d, best_s = carry
+        tns = jnp.roll(tn, s, axis=-1).reshape(tn.shape[0], -1)   # (T, R*S)
+        tnzs = jnp.roll(tnz, s, axis=-1).astype(qn.dtype)          # (T, S)
+        score = jnp.dot(qn_flat, tns.T, preferred_element_type=jnp.float32)  # (Q, T)
+        neff = jnp.dot(qnzf, tnzs.T, preferred_element_type=jnp.float32)     # (Q, T)
+        d = jnp.where(neff > 0, 1.0 - score / jnp.maximum(neff, 1.0), _BIG)
+        if not full_shift_search:
+            # circular distance to the vkey-aligned shift
+            delta = jnp.abs(s - best_vshift)
+            circ = jnp.minimum(delta, S - delta)
+            d = jnp.where(circ <= radius, d, _BIG)
+        take = d < best_d
+        return (jnp.where(take, d, best_d), jnp.where(take, s, best_s)), None
+
+    init = (jnp.full(qn.shape[:1] + tn.shape[:1], _BIG, jnp.float32),
+            jnp.zeros(qn.shape[:1] + tn.shape[:1], jnp.int32))
+    (dist, shift), _ = jax.lax.scan(body, init, jnp.arange(S, dtype=jnp.int32))
+    return dist, shift
+
+
+@partial(jax.jit, static_argnames=("num_candidates", "full_shift_search", "search_ratio"))
+def detect_loops_between_sessions(
+    query_descs: jax.Array,    # (Q, R, S) — source session
+    query_mask: jax.Array,     # (Q,) valid query nodes
+    target_descs: jax.Array,   # (T, R, S) — target session database
+    target_mask: jax.Array,    # (T,)
+    dist_threshold: float = 0.3,
+    num_candidates: int = 3,
+    full_shift_search: bool = False,
+    search_ratio: float = 0.1,
+):
+    """Batched ``detectLoopClosureIDBetweenSession`` over every source node.
+
+    Returns ``(loop_idx (Q,) int32  [-1 = no loop], dist (Q,), yaw_rad (Q,))``.
+    The reference evaluates the SC distance only on the ``num_candidates``
+    ring-key nearest targets and thresholds the best (``Scancontext.cpp:
+    287-316``); identical here, with the kd-tree replaced by a dense
+    ring-key distance + top-k.
+    """
+    S = query_descs.shape[-1]
+    dist, shift = sc_distance_matrix(
+        query_descs, target_descs, full_shift_search=full_shift_search, search_ratio=search_ratio
+    )
+
+    rq = ring_keys(query_descs)            # (Q, R)
+    rt = ring_keys(target_descs)           # (T, R)
+    rq2 = jnp.sum(rq * rq, axis=-1)
+    rt2 = jnp.sum(rt * rt, axis=-1)
+    rd = rq2[:, None] + rt2[None, :] - 2.0 * jnp.dot(rq, rt.T, preferred_element_type=jnp.float32)
+    rd = jnp.where(target_mask[None, :], rd, _BIG)
+
+    # candidate mask: top-k ring-key neighbours per query
+    k = min(num_candidates, target_descs.shape[0])
+    _, cand_idx = jax.lax.top_k(-rd, k)                         # (Q, k)
+    cand_mask = jnp.zeros_like(rd, dtype=bool)
+    cand_mask = cand_mask.at[jnp.arange(rd.shape[0])[:, None], cand_idx].set(True)
+    cand_mask = cand_mask & target_mask[None, :]
+
+    masked = jnp.where(cand_mask, dist, _BIG)
+    best_t = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(masked, best_t[:, None], axis=1)[:, 0]
+    best_s = jnp.take_along_axis(shift, best_t[:, None], axis=1)[:, 0]
+
+    found = (best_d < dist_threshold) & query_mask
+    loop_idx = jnp.where(found, best_t, -1)
+    yaw = best_s.astype(jnp.float32) * (2.0 * jnp.pi / S)
+    return loop_idx, best_d, yaw
+
+
+def config_kwargs(cfg: ScanContextConfig) -> dict:
+    return dict(
+        dist_threshold=cfg.dist_threshold,
+        num_candidates=cfg.num_candidates,
+        full_shift_search=cfg.full_shift_search,
+        search_ratio=cfg.search_ratio,
+    )
