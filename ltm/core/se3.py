@@ -76,15 +76,20 @@ def vee(W: jax.Array) -> jax.Array:
 
 
 def _sinc_coeffs(theta2: jax.Array):
-    """Taylor-stable A = sin(t)/t, B = (1-cos(t))/t^2, C = (1-A)/t^2.
+    """Float32-stable A = sin(t)/t, B = (1-cos(t))/t^2, C = (1-A)/t^2.
 
-    Computed from theta^2 so gradients are clean at t = 0.
+    B uses the half-angle identity 1-cos(t) = 2 sin²(t/2) (the naive form
+    loses ALL precision below t≈1e-3 in float32); A and C switch to Taylor
+    below t=0.1 where their direct forms cancel.  Computed from theta² with
+    the double-where pattern so autodiff stays NaN-free at t = 0.
     """
-    theta = jnp.sqrt(jnp.maximum(theta2, _EPS))
-    small = theta2 < 1e-8
-    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, _EPS))
-    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / jnp.maximum(theta2, _EPS))
+    small = theta2 < 1e-2
+    t2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2_safe)
+    a = jnp.where(small, 1.0 - theta2 / 6.0 + theta2 * theta2 / 120.0, jnp.sin(theta) / theta)
+    half_sinc = jnp.sin(theta / 2.0) / (theta / 2.0)
+    b = jnp.where(small, 0.5 - theta2 / 24.0 + theta2 * theta2 / 720.0, 0.5 * half_sinc * half_sinc)
+    c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0, (1.0 - a) / t2_safe)
     return a, b, c
 
 
@@ -105,12 +110,19 @@ def log_so3(R: jax.Array) -> jax.Array:
     the classic trace formula blows up.
     """
     q = mat_to_quat(R)
-    # q = [w, xyz]; angle = 2*atan2(|xyz|, w); axis = xyz/|xyz|
+    # q = [w, xyz]; w_vec = f(n^2) * xyz with f = 2*atan2(n, qw)/n.
+    # Double-where keeps the derivative finite at the identity (norm() is
+    # non-differentiable at 0 — the naive form poisons autodiff with NaNs).
     qw = q[..., 0]
     xyz = q[..., 1:]
-    n = jnp.linalg.norm(xyz, axis=-1)
-    angle = 2.0 * jnp.arctan2(n, qw)
-    scale = jnp.where(n < 1e-7, 2.0 / jnp.maximum(qw, _EPS), angle / jnp.maximum(n, _EPS))
+    n2 = jnp.sum(xyz * xyz, axis=-1)
+    small = n2 < 1e-10
+    n2_safe = jnp.where(small, 1.0, n2)
+    n_safe = jnp.sqrt(n2_safe)
+    f_large = 2.0 * jnp.arctan2(n_safe, qw) / n_safe
+    qw_safe = jnp.maximum(qw, _EPS)
+    f_small = 2.0 / qw_safe - 2.0 * n2 / (3.0 * qw_safe**3)
+    scale = jnp.where(small, f_small, f_large)
     return scale[..., None] * xyz
 
 
@@ -228,13 +240,19 @@ def log(T: jax.Array) -> jax.Array:
     t = translation(T)
     w = log_so3(R)
     theta2 = jnp.sum(w * w, axis=-1)
-    a, b, c = _sinc_coeffs(theta2)
     W = hat(w)
     W2 = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), W.shape)
-    # V^{-1} = I - W/2 + coeff * W^2, coeff = (1 - A/(2B)) / theta^2
-    denom = jnp.maximum(2.0 * b, _EPS)
-    coeff = jnp.where(theta2 < 1e-8, 1.0 / 12.0 + theta2 / 720.0, (1.0 - a / denom) / jnp.maximum(theta2, _EPS))
+    # V^{-1} = I - W/2 + coeff * W², coeff = (1 - (t/2)·cot(t/2)) / t².
+    # Taylor below t=0.1: the direct form is a catastrophic f32 cancellation
+    # (it once produced 1e8× translation errors on near-identity poses).
+    small = theta2 < 1e-2
+    t2_safe = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2_safe)
+    half = theta / 2.0
+    coeff_large = (1.0 - half * jnp.cos(half) / jnp.sin(half)) / t2_safe
+    coeff_small = 1.0 / 12.0 + theta2 / 720.0 + theta2 * theta2 / 30240.0
+    coeff = jnp.where(small, coeff_small, coeff_large)
     Vinv = eye - 0.5 * W + coeff[..., None, None] * W2
     v = (Vinv @ t[..., None])[..., 0]
     return jnp.concatenate([w, v], axis=-1)

@@ -1,0 +1,256 @@
+"""Levenberg-Marquardt pose-graph solver (matrix-free, jit-compiled).
+
+Replaces the reference's GTSAM iSAM2 (``ltslam/src/LTslam.cpp:136-142``,
+``optimizeMultisesseionGraph`` ``:157-184``).  The reference calls
+``isam.update()`` six times per optimization round — effectively a batch
+re-solve — so incremental relinearization buys nothing at this graph scale
+(~10³-10⁴ nodes); a batch LM maps far better onto the TPU:
+
+  * residuals/Jacobians: one vmapped evaluation of the whole factor set
+    (autodiff Jacobians — no hand-derived expressions);
+  * normal equations solved matrix-free by preconditioned CG, where
+    ``(JᵀJ)v`` is one jvp + one vjp of the stacked residual function
+    (all dense batched linear algebra on the MXU);
+  * preconditioner: block-Jacobi from per-factor 6×6 autodiff blocks;
+  * Cauchy robustness as IRLS reweighting, matching gtsam's m-estimator;
+  * gauge handling: 1e-12-variance priors become frozen variables.
+
+The entire LM loop (damping schedule included) compiles to a single XLA
+while-loop — zero host round-trips during optimization.
+
+``marginal_covariance`` provides the 6×6 marginals used by the RS-loop
+information gain (reference ``isam->marginalCovariance``,
+``LTslam.cpp:438-439``) via batched CG solves against unit columns.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ltm.core import se3
+from ltm.core.config import SolverConfig
+from ltm.graph.factors import GraphData, robust_weights, total_cost, whitened_residuals
+
+__all__ = ["solve", "marginal_covariance", "SolveInfo"]
+
+
+class SolveInfo(NamedTuple):
+    cost_initial: jax.Array
+    cost_final: jax.Array
+    iterations: jax.Array
+    cg_residual: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# linear-algebra plumbing
+# ---------------------------------------------------------------------------
+
+def _free(delta: jax.Array, g: GraphData) -> jax.Array:
+    return jnp.where(g.fixed[:, None], 0.0, delta)
+
+
+def _weighted_residual_fn(poses: jax.Array, g: GraphData, wb, wa):
+    """Returns f(delta) -> flat residual with IRLS weights baked in."""
+
+    def f(delta):
+        p = se3.retract(poses, _free(delta, g))
+        rp, rb, ra = whitened_residuals(p, g)
+        rb = rb * wb[:, None]
+        ra = ra * wa[:, None]
+        return jnp.concatenate([rp.ravel(), rb.ravel(), ra.ravel()])
+
+    return f
+
+
+def _block_jacobi(poses: jax.Array, g: GraphData, wb, wa, lam) -> jax.Array:
+    """(V, 6, 6) inverse of blockdiag(JᵀJ) + lam I via per-factor autodiff."""
+    V = g.num_vars
+    blocks = jnp.zeros((V, 6, 6), poses.dtype)
+
+    # priors
+    def r_prior(d, meas, x, isg):
+        return se3.local(meas, se3.retract(x, d)) * isg
+
+    Jp = jax.vmap(jax.jacfwd(r_prior), in_axes=(0, 0, 0, 0))(
+        jnp.zeros((g.prior_idx.shape[0], 6), poses.dtype), g.prior_meas, poses[g.prior_idx], g.prior_inv_sigma
+    )
+    Jp = Jp * g.prior_valid[:, None, None]
+    blocks = blocks.at[g.prior_idx].add(jnp.einsum("fij,fik->fjk", Jp, Jp))
+
+    # betweens
+    def r_bet(di, dj, meas, xi, xj, isg):
+        return se3.local(meas, se3.between(se3.retract(xi, di), se3.retract(xj, dj))) * isg
+
+    zeros_b = jnp.zeros((g.bet_i.shape[0], 6), poses.dtype)
+    Jbi = jax.vmap(jax.jacfwd(r_bet, argnums=0))(zeros_b, zeros_b, g.bet_meas, poses[g.bet_i], poses[g.bet_j], g.bet_inv_sigma)
+    Jbj = jax.vmap(jax.jacfwd(r_bet, argnums=1))(zeros_b, zeros_b, g.bet_meas, poses[g.bet_i], poses[g.bet_j], g.bet_inv_sigma)
+    wfac = (wb * g.bet_valid)[:, None, None]
+    Jbi = Jbi * wfac
+    Jbj = Jbj * wfac
+    blocks = blocks.at[g.bet_i].add(jnp.einsum("fij,fik->fjk", Jbi, Jbi))
+    blocks = blocks.at[g.bet_j].add(jnp.einsum("fij,fik->fjk", Jbj, Jbj))
+
+    # anchored betweens
+    def r_anc(di, dj, dai, daj, meas, xi, xj, xai, xaj, isg):
+        hi = se3.compose(se3.retract(xai, dai), se3.retract(xi, di))
+        hj = se3.compose(se3.retract(xaj, daj), se3.retract(xj, dj))
+        return se3.local(meas, se3.between(hi, hj)) * isg
+
+    A = g.anc_i.shape[0]
+    zeros_a = jnp.zeros((A, 6), poses.dtype)
+    args = (g.anc_meas, poses[g.anc_i], poses[g.anc_j], poses[g.anc_ai], poses[g.anc_aj], g.anc_inv_sigma)
+    wafac = (wa * g.anc_valid)[:, None, None]
+    for argnum, idx in ((0, g.anc_i), (1, g.anc_j), (2, g.anc_ai), (3, g.anc_aj)):
+        J = jax.vmap(jax.jacfwd(r_anc, argnums=argnum))(zeros_a, zeros_a, zeros_a, zeros_a, *args)
+        J = J * wafac
+        blocks = blocks.at[idx].add(jnp.einsum("fij,fik->fjk", J, J))
+
+    eye = jnp.eye(6, dtype=poses.dtype)
+    blocks = blocks + lam * eye
+    # fixed vars: identity so the (zeroed) components stay zero
+    blocks = jnp.where(g.fixed[:, None, None], eye, blocks)
+    return jnp.linalg.inv(blocks)
+
+
+def _pcg(hvp, b, minv_blocks, g: GraphData, iters: int, tol: float):
+    """Preconditioned CG on (V, 6) tensors; fixed vars masked out."""
+
+    def apply_m(r):
+        return _free(jnp.einsum("vij,vj->vi", minv_blocks, r), g)
+
+    def dot(a, b_):
+        return jnp.sum(a * b_)
+
+    x0 = jnp.zeros_like(b)
+    r0 = _free(b, g)
+    z0 = apply_m(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    b_norm = jnp.sqrt(dot(r0, r0)) + 1e-30
+
+    def body(carry, _):
+        x, r, p, rz, active = carry
+        Ap = _free(hvp(p), g)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x1 = x + alpha * p
+        r1 = r - alpha * Ap
+        z1 = apply_m(r1)
+        rz1 = dot(r1, z1)
+        beta = rz1 / jnp.maximum(rz, 1e-30)
+        p1 = z1 + beta * p
+        still = active & (jnp.sqrt(dot(r1, r1)) / b_norm > tol)
+        out = tuple(jnp.where(active, a, b_) for a, b_ in zip((x1, r1, p1, rz1), (x, r, p, rz)))
+        return (*out, still), None
+
+    (x, r, *_), _ = jax.lax.scan(body, (x0, r0, p0, rz0, jnp.bool_(True)), None, length=iters)
+    return x, jnp.sqrt(dot(r, r)) / b_norm
+
+
+# ---------------------------------------------------------------------------
+# LM driver
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_outer_iterations", "cg_iterations"))
+def _solve_impl(g: GraphData, max_outer_iterations: int, cg_iterations: int,
+                cg_tol: float, lambda_init: float, lambda_up: float,
+                lambda_down: float, cauchy_k: float):
+    def cost_at(poses):
+        rp, rb, ra = whitened_residuals(poses, g)
+        return total_cost(rp, rb, ra, g, cauchy_k)
+
+    def lm_step(state):
+        poses, lam, it, cost, done, cg_res = state
+        rp, rb, ra = whitened_residuals(poses, g)
+        wp, wb, wa = robust_weights(rp, rb, ra, g, cauchy_k)
+
+        f = _weighted_residual_fn(poses, g, wb, wa)
+        zero = jnp.zeros((g.num_vars, 6), poses.dtype)
+        r0, jvp_fn = jax.linearize(f, zero)
+        vjp_fn = jax.linear_transpose(jvp_fn, zero)
+
+        grad = vjp_fn(r0)[0]              # Jᵀ r
+        b = -_free(grad, g)
+
+        def hvp(v):
+            return vjp_fn(jvp_fn(_free(v, g)))[0] + lam * v
+
+        minv = _block_jacobi(poses, g, wb, wa, lam)
+        delta, res = _pcg(hvp, b, minv, g, cg_iterations, cg_tol)
+
+        cand = se3.retract(poses, _free(delta, g))
+        new_cost = cost_at(cand)
+        accept = new_cost < cost
+        poses1 = jnp.where(accept, cand, poses)
+        lam1 = jnp.where(accept, lam * lambda_down, lam * lambda_up)
+        lam1 = jnp.clip(lam1, 1e-9, 1e6)
+        rel_impr = (cost - new_cost) / jnp.maximum(cost, 1e-20)
+        done1 = accept & (rel_impr < 1e-7)
+        cost1 = jnp.where(accept, new_cost, cost)
+        return poses1, lam1, it + 1, cost1, done1, res
+
+    def cond(state):
+        _, _, it, _, done, _ = state
+        return (~done) & (it < max_outer_iterations)
+
+    poses0 = g.poses0
+    c0 = cost_at(poses0)
+    init = (poses0, jnp.asarray(lambda_init, poses0.dtype), jnp.asarray(0), c0, jnp.bool_(False), jnp.asarray(0.0, poses0.dtype))
+    poses, lam, it, cost, done, cg_res = jax.lax.while_loop(cond, lm_step, init)
+    return poses, SolveInfo(c0, cost, it, cg_res)
+
+
+def solve(g: GraphData, cfg: SolverConfig = SolverConfig()) -> Tuple[jax.Array, SolveInfo]:
+    """Optimize; returns (poses (V,4,4), SolveInfo)."""
+    return _solve_impl(
+        g,
+        max_outer_iterations=cfg.max_outer_iterations,
+        cg_iterations=cfg.cg_iterations,
+        cg_tol=cfg.cg_tol,
+        lambda_init=cfg.lambda_init,
+        lambda_up=cfg.lambda_up,
+        lambda_down=cfg.lambda_down,
+        cauchy_k=cfg.cauchy_k,
+    )
+
+
+@partial(jax.jit, static_argnames=("cg_iterations",))
+def marginal_covariance(
+    g: GraphData,
+    poses: jax.Array,
+    var_indices: jax.Array,        # (M,)
+    cg_iterations: int = 200,
+    damping: float = 1e-6,
+    cauchy_k: float = 1.0,
+) -> jax.Array:
+    """(M, 6, 6) marginal covariances Σ_v = (JᵀJ)⁻¹[v, v] via batched CG.
+
+    The RS-loop information gain needs only a handful of node marginals
+    (``calcInformationGainBtnTwoNodes``, ``LTslam.cpp:419-448``); each is six
+    CG solves against unit right-hand sides, batched with vmap.
+    """
+    rp, rb, ra = whitened_residuals(poses, g)
+    _, wb, wa = robust_weights(rp, rb, ra, g, cauchy_k)
+    f = _weighted_residual_fn(poses, g, wb, wa)
+    zero = jnp.zeros((g.num_vars, 6), poses.dtype)
+    _, jvp_fn = jax.linearize(f, zero)
+    vjp_fn = jax.linear_transpose(jvp_fn, zero)
+
+    def hvp(v):
+        return vjp_fn(jvp_fn(_free(v, g)))[0] + damping * v
+
+    minv = _block_jacobi(poses, g, wb, wa, jnp.asarray(damping, poses.dtype))
+
+    def solve_one(v_idx, k):
+        e = jnp.zeros((g.num_vars, 6), poses.dtype).at[v_idx, k].set(1.0)
+        x, _ = _pcg(hvp, e, minv, g, cg_iterations, 1e-8)
+        return x[v_idx]                           # (6,) column of Σ at var v
+
+    cols = jax.vmap(
+        lambda v: jax.vmap(lambda k: solve_one(v, k))(jnp.arange(6))
+    )(var_indices)                                # (M, 6, 6) columns as rows
+    # symmetrize
+    return 0.5 * (cols + jnp.swapaxes(cols, -1, -2))
