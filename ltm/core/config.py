@@ -40,6 +40,9 @@ class ICPConfig:
     max_iterations: int = 100
     transformation_epsilon: float = 1e-6
     euclidean_fitness_epsilon: float = 1e-6
+    # non-PCL extension: trim correspondences beyond this distance from the
+    # rigid update (None = strict reference behavior)
+    update_trim_distance: Optional[float] = None
     # submap assembly (``ltslam/src/LTslam.cpp:199``, ``ltslam/src/Session.cpp:18``)
     history_search_num: int = 25
     submap_voxel_size: float = 0.3

@@ -90,21 +90,41 @@ def make_world(seed: int = 0, extent: float = 60.0, num_cars: int = 12,
     gx, gy = np.meshgrid(xs, xs)
     ground = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], axis=-1)
 
-    # boundary walls (height 3)
-    zs = np.arange(0.0, 3.0, wall_step)
+    # boundary walls — deliberately ASYMMETRIC (different heights per side,
+    # a notch in one wall) so place recognition cannot alias rotated views
     line = np.arange(-L / 2, L / 2, wall_step)
+    wall_specs = [
+        # (fixed axis, fixed value, height, notch interval or None)
+        (1, -L / 2, 2.5, None),
+        (1, L / 2, 4.5, (-L / 8, L / 8)),
+        (0, -L / 2, 3.5, None),
+        (0, L / 2, 2.0, (L / 4 - 5, L / 4 + 5)),
+    ]
     walls = []
-    for z in zs:
-        walls.append(np.stack([line, np.full_like(line, -L / 2), np.full_like(line, z)], -1))
-        walls.append(np.stack([line, np.full_like(line, L / 2), np.full_like(line, z)], -1))
-        walls.append(np.stack([np.full_like(line, -L / 2), line, np.full_like(line, z)], -1))
-        walls.append(np.stack([np.full_like(line, L / 2), line, np.full_like(line, z)], -1))
+    for axis, val, height, notch in wall_specs:
+        for z in np.arange(0.0, height, wall_step):
+            keep = np.ones_like(line, bool)
+            if notch is not None and z > 0.8:
+                keep = (line < notch[0]) | (line > notch[1])
+            seg = line[keep]
+            if axis == 1:
+                walls.append(np.stack([seg, np.full_like(seg, val), np.full_like(seg, z)], -1))
+            else:
+                walls.append(np.stack([np.full_like(seg, val), seg, np.full_like(seg, z)], -1))
     walls = np.concatenate(walls)
 
-    # pillars: distinctive structure for loop closure
+    # pillars / small buildings at IRREGULAR positions and sizes
     pillars = []
-    for px, py in [(-L / 4, -L / 4), (L / 4, -L / 4), (-L / 4, L / 4), (L / 4, L / 4), (0.0, 0.0)]:
-        pillars.append(_box_points((px, py, 0.0), (1.0, 1.0, 4.0), rng, density=24.0))
+    pillar_specs = [
+        ((-L * 0.33, -L * 0.17), (1.0, 1.0, 4.0)),
+        ((L * 0.08, -L * 0.37), (2.5, 1.2, 5.5)),
+        ((L * 0.30, L * 0.05), (1.2, 3.0, 3.0)),
+        ((-L * 0.13, L * 0.23), (1.0, 1.0, 6.5)),
+        ((L * 0.20, L * 0.33), (4.0, 2.0, 2.5)),
+        ((-L * 0.38, L * 0.36), (2.0, 2.0, 8.0)),
+    ]
+    for (px, py), size in pillar_specs:
+        pillars.append(_box_points((px, py, 0.0), size, rng, density=24.0))
     static = np.concatenate([ground, walls] + pillars)
 
     # parking slots along two rows
@@ -133,13 +153,20 @@ def _yaw_pose(x, y, z, yaw):
 
 def loop_trajectory(num_keyframes: int, extent: float, phase: float = 0.0,
                     radius_frac: float = 0.3) -> np.ndarray:
-    """Rounded loop inside the lot; poses (K, 4, 4) in the site frame."""
-    r = extent * radius_frac
+    """Off-center elliptic loop; poses (K, 4, 4) in the site frame.
+
+    The center offset + ellipse break the rotational symmetry of the path so
+    opposite sides of the loop produce genuinely different scans.
+    """
+    rx = extent * radius_frac
+    ry = extent * radius_frac * 0.72
+    cx, cy = extent * 0.06, -extent * 0.09
     th = np.linspace(0, 2 * np.pi, num_keyframes, endpoint=False) + phase
     poses = []
     for t in th:
-        x, y = r * np.cos(t), r * np.sin(t)
-        yaw = t + np.pi / 2  # tangent heading
+        x, y = cx + rx * np.cos(t), cy + ry * np.sin(t)
+        dx, dy = -rx * np.sin(t), ry * np.cos(t)
+        yaw = np.arctan2(dy, dx)  # tangent heading
         poses.append(_yaw_pose(x, y, SENSOR_HEIGHT, yaw))
     return np.stack(poses)
 

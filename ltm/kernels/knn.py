@@ -78,6 +78,26 @@ def knn_avg_sqdist(query_xyz, query_mask, target_xyz, target_mask, k: int = 2, t
     return jnp.mean(d, axis=-1)
 
 
+@partial(jax.jit, static_argnames=("k", "tile", "query_chunk"))
+def chunked_knn_avg_sqdist(
+    query_xyz, query_mask, target_xyz, target_mask,
+    k: int = 2, tile: int = 8192, query_chunk: int = 16384,
+):
+    """Map-scale kNN statistic: queries stream in chunks (bounded memory:
+    one (query_chunk, tile) distance block live at a time)."""
+    n = query_xyz.shape[0]
+    n_pad = ((n + query_chunk - 1) // query_chunk) * query_chunk
+    qx = _pad_axis(query_xyz, n_pad, 0).reshape(-1, query_chunk, 3)
+    qm = _pad_axis(query_mask, n_pad, 0, value=False).reshape(-1, query_chunk)
+
+    def one(args):
+        cx, cm = args
+        return knn_avg_sqdist(cx, cm, target_xyz, target_mask, k=k, tile=tile)
+
+    out = jax.lax.map(one, (qx, qm))
+    return out.reshape(-1)[:n]
+
+
 @partial(jax.jit, static_argnames=("tile",))
 def nn_sqdist_argmin(
     query_xyz: jax.Array,

@@ -145,6 +145,45 @@ def sweep_discrepancy(
     return out
 
 
+@partial(jax.jit, static_argnames=("fov", "shape", "proj_shape", "reverse"))
+def sweep_discrepancy_projected(
+    target_xyz: jax.Array,          # (N, 3) global — the map being partitioned
+    target_mask: jax.Array,
+    source_xyz: jax.Array,          # (M, 3) global — the "scanning" session's map
+    source_mask: jax.Array,
+    pose_inv: jax.Array,            # (K, 4, 4) source keyframe lidar_from_global
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],         # partition resolution (e.g. x2.5)
+    proj_shape: Tuple[int, int],    # projected-scan resolution (e.g. x3.0)
+    diff_threshold: float = 0.1,
+    reverse: bool = False,
+) -> jax.Array:
+    """ND/PD strong-weak filtering core.
+
+    The reference filters delta maps against the *projected static scans* of
+    the other session (``keyframe_scans_static_projected_``; used by
+    ``calcDescrepancyAndParseDynamicPointIdxForEachScanFor{ND,PD}``,
+    ``Removerter.cpp:429-540``).  Here the projected scan of keyframe k is
+    derived on the fly: source-map points that win their pixel at the
+    reprojection resolution (α=3, ``Session.h:13``) form the scan, whose
+    range image at the partition resolution is compared against the target
+    (delta) map.  OR-reduced over keyframes.
+    """
+
+    def body(carry, Tinv):
+        tgt_local = target_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        src_local = source_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        swin, *_ = winner_mask(src_local, source_mask, fov, proj_shape)
+        dyn = discrepancy_mask(
+            tgt_local, target_mask, src_local, swin, fov, shape, diff_threshold, reverse
+        )
+        return carry | dyn, None
+
+    init = jnp.zeros(target_xyz.shape[:-1], bool)
+    out, _ = jax.lax.scan(body, init, pose_inv)
+    return out
+
+
 @partial(jax.jit, static_argnames=("fov", "shape"))
 def sweep_visibility(
     map_xyz_global: jax.Array,

@@ -1,0 +1,120 @@
+"""Point-to-point ICP, fixed-shape and batched (the loop verifier).
+
+Mirrors the observable semantics of PCL ``IterativeClosestPoint`` as used by
+the reference (``ltslam/src/LTslam.cpp:206-217``): nearest-neighbour
+correspondences (max distance 150 m — effectively all points), SVD/Umeyama
+rigid update per iteration, transformation-epsilon early stop, and
+``getFitnessScore()`` = mean **squared** NN distance of the aligned source.
+
+TPU design: correspondences come from the tiled-matmul 1-NN kernel
+(``ltm.kernels.knn.nn_sqdist_argmin`` — MXU-bound); the iteration loop is a
+``lax.fori_loop`` with a convergence freeze so a whole batch of candidate
+loop pairs runs under one jit/vmap (the reference parallelized this with an
+OpenMP farm + mutex, ``LTslam.cpp:389-416``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ltm.core import se3
+from ltm.kernels.knn import nn_sqdist_argmin
+
+__all__ = ["ICPResult", "icp_point_to_point", "icp_batch", "fitness_score"]
+
+
+class ICPResult(NamedTuple):
+    transform: jax.Array    # (4, 4) target_from_source correction
+    converged: jax.Array    # bool — transformation epsilon reached
+    fitness: jax.Array      # mean squared NN distance (PCL getFitnessScore)
+    iterations: jax.Array
+
+
+def _umeyama_rigid(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
+    """Weighted least-squares rigid transform dst ≈ R @ src + t (4x4)."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    ws = w[:, None]
+    cs = jnp.sum(src * ws, axis=0) / wsum
+    cd = jnp.sum(dst * ws, axis=0) / wsum
+    src_c = src - cs
+    dst_c = dst - cd
+    H = (src_c * ws).T @ dst_c          # (3, 3)
+    U, _, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], H.dtype)).at[2, 2].set(d)
+    R = Vt.T @ D @ U.T
+    t = cd - R @ cs
+    return se3.from_rot_trans(R, t)
+
+
+@partial(jax.jit, static_argnames=("max_iterations", "tile"))
+def icp_point_to_point(
+    src_xyz: jax.Array,      # (N, 3)
+    src_mask: jax.Array,     # (N,)
+    tgt_xyz: jax.Array,      # (M, 3)
+    tgt_mask: jax.Array,     # (M,)
+    init_transform: jax.Array | None = None,
+    max_correspondence_distance: float = 150.0,
+    max_iterations: int = 100,
+    transformation_epsilon: float = 1e-6,
+    tile: int = 4096,
+    update_trim_distance: float | None = None,
+) -> ICPResult:
+    """``update_trim_distance`` (optional, non-PCL extension): reject
+    correspondences beyond this distance from the *rigid update* only —
+    fitness keeps PCL semantics.  Improves robustness under partial overlap;
+    leave None for strict reference behavior."""
+    T0 = jnp.eye(4, dtype=src_xyz.dtype) if init_transform is None else init_transform
+    trim = max_correspondence_distance if update_trim_distance is None else update_trim_distance
+    max_d2 = jnp.minimum(max_correspondence_distance, trim) ** 2
+    has_tgt = jnp.any(tgt_mask)
+    has_src = jnp.any(src_mask)
+
+    def body(it, state):
+        T, done, n_it = state
+
+        def step(_):
+            moved = se3.transform_points(T, src_xyz)
+            d2, idx = nn_sqdist_argmin(moved, src_mask, tgt_xyz, tgt_mask, tile=tile)
+            w = (src_mask & (d2 <= max_d2)).astype(src_xyz.dtype)
+            dst = tgt_xyz[idx]
+            delta = _umeyama_rigid(moved, dst, w)
+            T_new = se3.compose(delta, T)
+            # PCL transformation epsilon: squared diff of consecutive transforms
+            dT = jnp.sum((T_new - T) ** 2)
+            return T_new, dT < transformation_epsilon, n_it + 1
+
+        T1, conv, n1 = jax.lax.cond(done, lambda _: (T, done, n_it), step, None)
+        return T1, conv, n1
+
+    init_state = (T0, ~(has_tgt & has_src), jnp.asarray(0))
+    T, done, n_it = jax.lax.fori_loop(0, max_iterations, body, init_state)
+
+    fit = fitness_score(src_xyz, src_mask, tgt_xyz, tgt_mask, T, tile=tile)
+    # "converged" in the reference's accept test is PCL's criterion state,
+    # which is true whenever iterations ran (incl. max-iterations exit);
+    # the effective filter is the fitness threshold.  We report epsilon
+    # convergence and non-degenerate inputs.
+    return ICPResult(T, done & has_tgt & has_src, fit, n_it)
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def fitness_score(src_xyz, src_mask, tgt_xyz, tgt_mask, T, tile: int = 4096):
+    """PCL getFitnessScore: mean squared NN distance of aligned source."""
+    moved = se3.transform_points(T, src_xyz)
+    d2, _ = nn_sqdist_argmin(moved, src_mask, tgt_xyz, tgt_mask, tile=tile)
+    w = src_mask.astype(src_xyz.dtype)
+    return jnp.sum(jnp.where(src_mask, d2, 0.0)) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def icp_batch(src_xyz, src_mask, tgt_xyz, tgt_mask, init_transforms=None, **kw):
+    """vmapped ICP over B candidate pairs: (B,N,3),(B,N),(B,M,3),(B,M)."""
+    if init_transforms is None:
+        B = src_xyz.shape[0]
+        init_transforms = jnp.broadcast_to(jnp.eye(4, dtype=src_xyz.dtype), (B, 4, 4))
+    fn = lambda s, sm, t, tm, T0: icp_point_to_point(s, sm, t, tm, T0, **kw)
+    return jax.vmap(fn)(src_xyz, src_mask, tgt_xyz, tgt_mask, init_transforms)

@@ -1,0 +1,161 @@
+"""Removert session state (fixed-shape, mask-based).
+
+Mirrors the reference ``ltremovert::Session`` (``ltremovert/src/Session.cpp``)
+but with a fundamentally different data model: instead of ~25 dynamically
+grown PCL clouds per session (``Session.h:39-91``), each session keeps ONE
+padded global-map array plus boolean masks over it.  Every partitioning step
+(static/dynamic, ND/PD, strong/weak) flips mask bits — data never moves,
+shapes never change, everything stays jit-compiled.
+
+Host-side keyframe parsing (range/gap/ROI) mirrors
+``parseKeyframes``/``parseKeyframesInROI`` (``Session.cpp:138-263``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltm.core.config import RemovertConfig
+from ltm.kernels.voxel import voxel_downsample_centroid
+
+__all__ = ["RemovertInput", "RemovertSession", "parse_keyframe_indices", "parse_keyframes_in_roi"]
+
+
+@dataclass
+class RemovertInput:
+    """Host-side raw session: local-frame scans + base poses."""
+
+    scans: List[np.ndarray]          # each (M_i, >=3) float32, lidar frame
+    poses: np.ndarray                # (N, 4, 4) float64
+    names: Optional[List[str]] = None
+
+    @classmethod
+    def from_dirs(cls, scan_dir: str, pose_path: str) -> "RemovertInput":
+        import os
+
+        from ltm.io.pcd import read_pcd
+        from ltm.io.poses import read_kitti_poses
+
+        names = sorted(n for n in os.listdir(scan_dir) if n.endswith(".pcd"))
+        scans = [read_pcd(os.path.join(scan_dir, n)) for n in names]
+        poses = read_kitti_poses(pose_path)
+        if len(scans) != len(poses):
+            raise ValueError(f"{len(scans)} scans vs {len(poses)} poses")
+        return cls(scans=scans, poses=poses, names=names)
+
+
+def parse_keyframe_indices(num: int, start: int, end: int, gap: int) -> np.ndarray:
+    """``parseKeyframes({start,end}, gap)`` (``Session.cpp:138-174``)."""
+    idx = np.arange(num)
+    idx = idx[(idx >= start) & (idx <= end)]
+    return idx[::max(gap, 1)]
+
+
+def parse_keyframes_in_roi(poses: np.ndarray, roi_poses: np.ndarray, thres: float, gap: int) -> np.ndarray:
+    """``parseKeyframesInROI`` (``Session.cpp:230-263``): keep scans within
+    ``thres`` meters of any ROI (central keyframe) pose, then gap-subsample."""
+    p = poses[:, :3, 3]
+    r = roi_poses[:, :3, 3]
+    d = np.linalg.norm(p[:, None] - r[None], axis=-1).min(axis=1)
+    idx = np.flatnonzero(d <= thres)
+    return idx[::max(gap, 1)]
+
+
+def _preclean(scan: np.ndarray, radius: float, z_band: float) -> np.ndarray:
+    """``precleaningKeyframes`` (``Session.cpp:506-533``): drop ego-ring
+    points with range < radius and |z| < z_band."""
+    xyz = scan[:, :3]
+    r = np.linalg.norm(xyz, axis=1)
+    drop = (r < radius) & (np.abs(xyz[:, 2]) < z_band)
+    return scan[~drop]
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _merge_global(scans_xyz, scans_mask, poses, voxel, capacity):
+    """Merge keyframes into the global frame + centroid downsample
+    (``mergeScansWithinGlobalCoord`` + ``octreeDownsampling``,
+    ``Session.cpp:186-202``, ``utility.cpp:204-219``)."""
+    R = poses[:, :3, :3]
+    t = poses[:, :3, 3]
+    moved = jnp.einsum("kij,ksj->ksi", R, scans_xyz) + t[:, None, :]
+    flat = moved.reshape(-1, 3)
+    fmask = scans_mask.reshape(-1)
+    return voxel_downsample_centroid(flat, fmask, voxel, capacity)
+
+
+@dataclass
+class RemovertSession:
+    """Device-resident session state."""
+
+    sess_type: str                   # "Central" | "Query"
+    num_keyframes: int
+    keyframe_indices: np.ndarray     # into the original scan list
+    names: List[str]
+    poses: jax.Array                 # (K_cap, 4, 4) f32 — effective (base∘lidar2base)
+    poses_inv: jax.Array             # (K_cap, 4, 4)
+    kf_valid: jax.Array              # (K_cap,)
+    scans_xyz: jax.Array             # (K_cap, S, 3) lidar frame
+    scans_mask: jax.Array            # (K_cap, S)
+
+    map_xyz: jax.Array               # (N, 3) global frame
+    map_mask: jax.Array              # (N,) valid map points
+    masks: Dict[str, jax.Array] = field(default_factory=dict)  # named partitions
+
+    @classmethod
+    def build(cls, inp: RemovertInput, cfg: RemovertConfig, sess_type: str,
+              keyframe_indices: np.ndarray) -> "RemovertSession":
+        k_cap = cfg.max_keyframes
+        s_cap = cfg.scan_capacity
+        kf = np.asarray(keyframe_indices)
+        if len(kf) > k_cap:
+            kf = kf[:k_cap]
+        K = len(kf)
+
+        lidar2base = np.asarray(cfg.extrinsic_lidar_to_base, np.float64).reshape(4, 4)
+        poses = np.tile(np.eye(4, dtype=np.float32), (k_cap, 1, 1))
+        xyz = np.zeros((k_cap, s_cap, 3), np.float32)
+        msk = np.zeros((k_cap, s_cap), bool)
+        names = []
+        for out_i, scan_i in enumerate(kf):
+            scan = _preclean(np.asarray(inp.scans[scan_i], np.float32), cfg.preclean_radius, cfg.preclean_z_band)
+            pts = scan[:, :3]
+            if len(pts) > s_cap:
+                sel = np.linspace(0, len(pts) - 1, s_cap).astype(np.int64)
+                pts = pts[sel]
+            xyz[out_i, : len(pts)] = pts
+            msk[out_i, : len(pts)] = True
+            poses[out_i] = (inp.poses[scan_i] @ lidar2base).astype(np.float32)
+            names.append(inp.names[scan_i] if inp.names else f"{scan_i:06d}.pcd")
+        valid = np.zeros(k_cap, bool)
+        valid[:K] = True
+
+        scans_xyz = jnp.asarray(xyz)
+        scans_mask = jnp.asarray(msk)
+        poses_j = jnp.asarray(poses)
+        poses_inv = jnp.asarray(np.linalg.inv(poses.astype(np.float64)).astype(np.float32))
+        map_xyz, map_mask, nvox = _merge_global(
+            scans_xyz, scans_mask & valid[:, None], poses_j, cfg.downsample_voxel_size, cfg.map_capacity
+        )
+        if int(nvox) > cfg.map_capacity:
+            raise ValueError(
+                f"{sess_type}: {int(nvox)} voxels exceed map_capacity {cfg.map_capacity}"
+            )
+        return cls(
+            sess_type=sess_type,
+            num_keyframes=K,
+            keyframe_indices=kf,
+            names=names,
+            poses=poses_j,
+            poses_inv=poses_inv,
+            kf_valid=jnp.asarray(valid),
+            scans_xyz=scans_xyz,
+            scans_mask=scans_mask & jnp.asarray(valid)[:, None],
+            map_xyz=map_xyz,
+            map_mask=map_mask,
+        )

@@ -1,0 +1,442 @@
+"""LT-SLAM: multi-session anchor-node pose-graph alignment (the full driver).
+
+Reference: ``LTslam::run`` (``ltslam/src/LTslam.cpp:79-98``):
+  load sessions → central graph → optimize → SC loops (+ICP) → optimize →
+  RS loops (info-gain + ICP) → optimize → write trajectories.
+
+TPU re-design highlights (not a port):
+  * loop retrieval is one dense batched Scan Context scoring call instead of
+    a kd-tree + per-node candidate loop (``detectInterSessionSCloops``,
+    ``LTslam.cpp:304-333``);
+  * ICP verification runs as vmapped batches of fixed-shape ICPs (the
+    reference uses an OpenMP farm with a mutex-guarded graph,
+    ``LTslam.cpp:389-416``);
+  * optimization is the batch LM/PCG solver (``ltm.graph.solver``) — the
+    reference's 6 stacked ``isam.update()`` calls are effectively a batch
+    solve anyway (``LTslam.cpp:162-167``);
+  * the 1e-12-variance gauge priors (base anchor + first node per session,
+    ``LTslam.cpp:565-576,591-594``) become frozen variables;
+  * anchored loop measurements use the geometrically consistent convention
+    ``measured = Between(central_target_pose, central_source_pose)`` — the
+    ICP alignment of the source scan into the target frame — validated
+    against synthetic ground truth (the reference feeds the inverse of this
+    quantity to a factor keyed (target, source); see
+    ``doICPVirtualRelative`` ``LTslam.cpp:234-241`` — we do not replicate
+    that inconsistency).
+
+RS ("radius-search") loops implement the information-gain selection of
+``findNearestRSLoopsTargetNodeIdx`` / ``calcInformationGainBtnTwoNodes``
+(``LTslam.cpp:419-505``) with CG marginals and autodiff factor Jacobians.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltm.core import se3
+from ltm.core.config import LTSlamConfig
+from ltm.graph.factors import build_graph_data
+from ltm.graph.solver import marginal_covariance, solve
+from ltm.io.poses import write_kitti_poses
+from ltm.io.sessions import SessionData
+from ltm.register.icp import icp_batch
+from ltm.retrieval import scancontext as sc_retrieval
+from ltm.slam.session import SlamSession, assemble_submap
+from ltm.kernels.voxel import voxel_downsample_representative
+from ltm.utils import get_logger, stage_timer
+
+__all__ = ["LTSlam", "LTSlamResult"]
+
+log = get_logger("ltm.slam")
+
+
+@dataclass
+class LTSlamResult:
+    anchors: Dict[str, np.ndarray]            # session -> (4,4)
+    local_poses: Dict[str, np.ndarray]        # session -> (N,4,4)
+    central_poses: Dict[str, np.ndarray]      # session -> (N,4,4)
+    num_sc_loops: int = 0
+    num_rs_loops: int = 0
+    diagnostics: Dict = field(default_factory=dict)
+
+
+class LTSlam:
+    """Two-session central/query alignment (generalizable variable layout)."""
+
+    def __init__(self, cfg: Optional[LTSlamConfig] = None):
+        self.cfg = cfg or LTSlamConfig()
+
+    # ------------------------------------------------------------------
+    # variable layout: [anchor_c, anchor_q, central nodes..., query nodes...]
+    # ------------------------------------------------------------------
+    def _node_var(self, sess_idx: int, node: int) -> int:
+        return 2 + sess_idx * self.cfg.max_nodes_per_session + node
+
+    def _anchor_var(self, sess_idx: int) -> int:
+        return sess_idx
+
+    # ------------------------------------------------------------------
+    def run(self, central: SessionData, query: SessionData,
+            save_directory: Optional[str] = None) -> LTSlamResult:
+        cfg = self.cfg
+        with stage_timer("ltslam.load", log):
+            self.sessions = [
+                SlamSession.from_session_data(central, cfg, is_base=True),
+                SlamSession.from_session_data(query, cfg, is_base=False),
+            ]
+        self._init_graph()
+
+        with stage_timer("ltslam.optimize.initial", log):
+            self._optimize()
+        if save_directory:
+            self._write_trajectories(save_directory, "bfr_intersession_loops")
+
+        with stage_timer("ltslam.sc_loops", log):
+            sc_pairs, rs_candidates, sc_yaws = self._detect_sc_loops()
+            n_sc = self._add_sc_loops(sc_pairs, sc_yaws)
+        with stage_timer("ltslam.optimize.sc", log):
+            self._optimize()
+
+        n_rs = 0
+        if cfg.num_rs_loops_upper_bound > 0 and rs_candidates:
+            with stage_timer("ltslam.rs_loops", log):
+                n_rs = self._add_rs_loops(rs_candidates)
+            if n_rs:
+                with stage_timer("ltslam.optimize.rs", log):
+                    self._optimize()
+
+        if save_directory:
+            self._write_trajectories(save_directory, "aft_intersession_loops")
+
+        return LTSlamResult(
+            anchors={s.name: self.anchors[i] for i, s in enumerate(self.sessions)},
+            local_poses={s.name: s.poses_local[: s.num_nodes] for s in self.sessions},
+            central_poses={
+                s.name: np.einsum("ij,njk->nik", self.anchors[i], s.poses_local[: s.num_nodes])
+                for i, s in enumerate(self.sessions)
+            },
+            num_sc_loops=n_sc,
+            num_rs_loops=n_rs,
+            diagnostics=self.diag,
+        )
+
+    # ------------------------------------------------------------------
+    # graph assembly & optimization
+    # ------------------------------------------------------------------
+    def _init_graph(self):
+        cfg = self.cfg
+        V = 2 + 2 * cfg.max_nodes_per_session
+        self.poses0 = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+        self.fixed = np.zeros(V, bool)
+        self.fixed[self._anchor_var(0)] = True            # base anchor == origin
+        self.priors: List = []
+        self.betweens: List = []
+        self.anchored: List = []
+        self.anchors = [np.eye(4), np.eye(4)]
+        self.diag: Dict = {}
+
+        for s_idx, sess in enumerate(self.sessions):
+            n = sess.num_nodes
+            self.poses0[self._node_var(s_idx, 0) : self._node_var(s_idx, 0) + n] = sess.poses_local[:n]
+            # gauge: first node pinned at its initial (1e-12 prior in the ref)
+            self.fixed[self._node_var(s_idx, 0)] = True
+            if not sess.is_base:
+                self.priors.append((self._anchor_var(s_idx), np.eye(4), cfg.large_variances))
+            ef, et, er = sess.edges
+            for k in range(len(ef)):
+                i, j = int(ef[k]), int(et[k])
+                odom = abs(j - i) == 1
+                self.betweens.append(
+                    (
+                        self._node_var(s_idx, i),
+                        self._node_var(s_idx, j),
+                        er[k],
+                        cfg.odom_variances if odom else cfg.robust_variances,
+                        not odom,
+                    )
+                )
+
+        self._between_capacity = max(len(self.betweens) + 8, 1)
+        self._anchored_capacity = max(cfg.num_sc_loops_upper_bound + max(cfg.num_rs_loops_upper_bound, 16), 1)
+
+    def _build_graph(self):
+        return build_graph_data(
+            self.poses0,
+            self.fixed,
+            priors=self.priors,
+            betweens=self.betweens,
+            anchored=self.anchored,
+            prior_capacity=4,
+            between_capacity=self._between_capacity,
+            anchored_capacity=self._anchored_capacity,
+        )
+
+    def _optimize(self):
+        g = self._build_graph()
+        poses, info = solve(g, self.cfg.solver)
+        self._estimates = np.asarray(poses, np.float64)
+        self.poses0 = np.asarray(poses, np.float32)          # warm start next round
+        self._last_graph = g
+        self._last_poses = poses
+        log.info(
+            "optimize: cost %.4g -> %.4g in %d LM iters",
+            float(info.cost_initial), float(info.cost_final), int(info.iterations),
+        )
+        # refresh session estimates (reference updateSessionsPoses / updateKeyPoses)
+        for s_idx, sess in enumerate(self.sessions):
+            self.anchors[s_idx] = self._estimates[self._anchor_var(s_idx)]
+            base = self._node_var(s_idx, 0)
+            sess.poses_local = self._estimates[base : base + sess.num_nodes]
+
+    # ------------------------------------------------------------------
+    # SC loops
+    # ------------------------------------------------------------------
+    def _detect_sc_loops(self):
+        cfg = self.cfg
+        target, source = self.sessions[0], self.sessions[1]
+        loop_idx, dist, yaw = sc_retrieval.detect_loops_between_sessions(
+            source.descriptors, source.node_valid,
+            target.descriptors, target.node_valid,
+            **sc_retrieval.config_kwargs(cfg.scan_context),
+        )
+        loop_idx = np.asarray(loop_idx)
+        yaw = np.asarray(yaw)
+        pairs = [(int(loop_idx[s]), s) for s in range(source.num_nodes) if loop_idx[s] >= 0]
+        misses = [s for s in range(source.num_nodes) if loop_idx[s] < 0]
+        yaws = {s: float(yaw[s]) for s in range(source.num_nodes)}
+        log.info("SC retrieval: %d loops, %d misses", len(pairs), len(misses))
+        self.diag["sc_pairs_found"] = len(pairs)
+        return pairs, misses, yaws
+
+    @staticmethod
+    def _equisample(pairs: List, upper: int) -> List:
+        """``equisampleElements`` (``LTslam.cpp:353-368``)."""
+        n_all = len(pairs)
+        n_add = min(n_all, upper)
+        if n_add == 0:
+            return []
+        gap = n_all // n_add
+        return [pairs[int(round(i * gap))] for i in range(n_add)]
+
+    def _prepare_icp_pair(self, s_idx_src: int, node_src: int, s_idx_tgt: int, node_tgt: int,
+                          central_coords: bool):
+        """Source scan + ±search submap, both 0.3-voxel filtered, fixed shapes."""
+        cfg = self.cfg
+        src_sess = self.sessions[s_idx_src]
+        tgt_sess = self.sessions[s_idx_tgt]
+        icp_cfg = cfg.icp
+
+        # source: the single keyframe scan (searchNum=0 in the reference)
+        src_xyz, src_mask, _ = voxel_downsample_representative(
+            src_sess.scans_xyz[node_src], src_sess.scans_mask[node_src],
+            icp_cfg.submap_voxel_size, icp_cfg.source_capacity,
+        )
+
+        # target: ±history_search_num neighbours in the target node's frame
+        k = icp_cfg.history_search_num
+        neigh = np.arange(node_tgt - k, node_tgt + k + 1)
+        valid = (neigh >= 0) & (neigh < tgt_sess.num_nodes)
+        neigh_c = np.clip(neigh, 0, tgt_sess.num_nodes - 1)
+        if central_coords:
+            # central frame of the target node: anchor ∘ p
+            anchor_t = self.anchors[s_idx_tgt]
+            T_tgt = anchor_t @ tgt_sess.poses_local[node_tgt]
+            rel = np.stack([
+                np.linalg.inv(T_tgt) @ anchor_t @ tgt_sess.poses_local[i] for i in neigh_c
+            ])
+        else:
+            T_tgt = tgt_sess.poses_local[node_tgt]
+            rel = np.stack([
+                np.linalg.inv(T_tgt) @ tgt_sess.poses_local[i] for i in neigh_c
+            ])
+        tgt_xyz, tgt_mask = assemble_submap(
+            tgt_sess.scans_xyz, tgt_sess.scans_mask,
+            jnp.asarray(neigh_c, jnp.int32), jnp.asarray(valid),
+            jnp.asarray(rel, jnp.float32),
+            icp_cfg.submap_voxel_size, icp_cfg.target_capacity,
+        )
+        return src_xyz, src_mask, tgt_xyz, tgt_mask
+
+    def _run_icp_batches(self, pair_data, init_transforms, chunk: int = 8):
+        """Run fixed-shape ICPs in vmapped chunks; returns list of results."""
+        cfg = self.cfg.icp
+        results = []
+        for c0 in range(0, len(pair_data), chunk):
+            batch = pair_data[c0 : c0 + chunk]
+            inits = init_transforms[c0 : c0 + chunk]
+            pad = chunk - len(batch)
+            if pad:
+                batch = batch + [batch[-1]] * pad
+                inits = np.concatenate([inits, np.repeat(inits[-1:], pad, 0)])
+            sx = jnp.stack([b[0] for b in batch])
+            sm = jnp.stack([b[1] for b in batch])
+            tx = jnp.stack([b[2] for b in batch])
+            tm = jnp.stack([b[3] for b in batch])
+            res = icp_batch(
+                sx, sm, tx, tm, jnp.asarray(inits, jnp.float32),
+                max_correspondence_distance=cfg.max_correspondence_distance,
+                max_iterations=cfg.max_iterations,
+                transformation_epsilon=cfg.transformation_epsilon,
+                tile=4096,
+                update_trim_distance=cfg.update_trim_distance,
+            )
+            T = np.asarray(res.transform)
+            fit = np.asarray(res.fitness)
+            for b in range(len(pair_data[c0 : c0 + chunk])):
+                results.append((T[b], float(fit[b])))
+        return results
+
+    def _add_sc_loops(self, sc_pairs, sc_yaws) -> int:
+        cfg = self.cfg
+        pairs = self._equisample(sc_pairs, cfg.num_sc_loops_upper_bound)
+        if not pairs:
+            return 0
+        with stage_timer("ltslam.sc_loops.prepare", log):
+            data = [
+                self._prepare_icp_pair(1, src, 0, tgt, central_coords=False)
+                for (tgt, src) in pairs
+            ]
+        # ICP init from the SC yaw estimate (an improvement over the
+        # reference's identity init, "TODO icp align with initial" LTslam.cpp:220)
+        inits = np.stack([
+            np.asarray(se3.from_rpy(0.0, 0.0, -sc_yaws[src], dtype=jnp.float32))
+            for (_, src) in pairs
+        ])
+        with stage_timer("ltslam.sc_loops.icp", log):
+            results = self._run_icp_batches(data, inits)
+
+        added = 0
+        for (tgt, src), (T_icp, fitness) in zip(pairs, results):
+            if fitness < cfg.loop_fitness_score_threshold:
+                self.anchored.append(
+                    (
+                        self._node_var(0, tgt),
+                        self._node_var(1, src),
+                        self._anchor_var(0),
+                        self._anchor_var(1),
+                        T_icp,
+                        cfg.robust_variances,
+                    )
+                )
+                added += 1
+        log.info("SC loops: %d/%d passed ICP fitness < %.2f", added, len(pairs), cfg.loop_fitness_score_threshold)
+        self.diag["sc_loops_added"] = added
+        return added
+
+    # ------------------------------------------------------------------
+    # RS loops (info-gain)
+    # ------------------------------------------------------------------
+    def _anchored_jacobians(self, node_t_vars, node_s_vars):
+        """Autodiff H1, H2 of the anchored residual wrt the two node poses."""
+        poses = self._last_poses
+
+        def resid(d1, d2, x1, x2, a1, a2, meas):
+            h1 = se3.compose(a1, se3.retract(x1, d1))
+            h2 = se3.compose(a2, se3.retract(x2, d2))
+            return se3.local(meas, se3.between(h1, h2))
+
+        x1 = poses[jnp.asarray(node_t_vars)]
+        x2 = poses[jnp.asarray(node_s_vars)]
+        a1 = jnp.broadcast_to(poses[self._anchor_var(0)], x1.shape)
+        a2 = jnp.broadcast_to(poses[self._anchor_var(1)], x2.shape)
+        meas = se3.between(se3.compose(a1, x1), se3.compose(a2, x2))
+        zero = jnp.zeros((x1.shape[0], 6), jnp.float32)
+        H1 = jax.vmap(jax.jacfwd(resid, argnums=0))(zero, zero, x1, x2, a1, a2, meas)
+        H2 = jax.vmap(jax.jacfwd(resid, argnums=1))(zero, zero, x1, x2, a1, a2, meas)
+        return H1, H2
+
+    def _add_rs_loops(self, rs_candidates: List[int]) -> int:
+        cfg = self.cfg
+        target, source = self.sessions[0], self.sessions[1]
+        anchor_q = self.anchors[1]
+        tgt_central = np.einsum("ij,njk->nik", self.anchors[0], target.poses_local)
+        tgt_pos = tgt_central[:, :3, 3]
+
+        # ball search in central coords (LTslam.cpp:467-476, radius 10 m)
+        cand_pairs = []
+        for s in rs_candidates:
+            q_central = anchor_q @ source.poses_local[s]
+            d = np.linalg.norm(tgt_pos - q_central[:3, 3], axis=1)
+            in_ball = np.flatnonzero(d < cfg.rs_ball_radius)
+            if len(in_ball):
+                cand_pairs.append((s, in_ball))
+        if not cand_pairs:
+            return 0
+
+        # marginals of every involved variable, batched
+        uniq_t = sorted({int(t) for _, balls in cand_pairs for t in balls})
+        uniq_s = sorted({s for s, _ in cand_pairs})
+        t_vars = [self._node_var(0, t) for t in uniq_t]
+        s_vars = [self._node_var(1, s) for s in uniq_s]
+        all_vars = jnp.asarray(t_vars + s_vars, jnp.int32)
+        with stage_timer("ltslam.rs_loops.marginals", log):
+            Sig = np.asarray(marginal_covariance(self._last_graph, self._last_poses, all_vars))
+        sig_t = {t: Sig[i] for i, t in enumerate(uniq_t)}
+        sig_s = {s: Sig[len(uniq_t) + i] for i, s in enumerate(uniq_s)}
+
+        # info gain 0.5 log det(I + H1 Σ1 H1ᵀ + H2 Σ2 H2ᵀ)  (LTslam.cpp:441-447)
+        flat = [(s, int(t)) for s, balls in cand_pairs for t in balls]
+        H1, H2 = self._anchored_jacobians(
+            [self._node_var(0, t) for _, t in flat], [self._node_var(1, s) for s, _ in flat]
+        )
+        H1, H2 = np.asarray(H1), np.asarray(H2)
+        gains = []
+        for k, (s, t) in enumerate(flat):
+            S = np.eye(6) + H1[k] @ sig_t[t] @ H1[k].T + H2[k] @ sig_s[s] @ H2[k].T
+            sign, logdet = np.linalg.slogdet(S)
+            gains.append(0.5 * logdet if sign > 0 else -np.inf)
+        best: Dict[int, Tuple[int, float]] = {}
+        for k, (s, t) in enumerate(flat):
+            if s not in best or gains[k] > best[s][1]:
+                best[s] = (t, gains[k])
+        rs_pairs = [(t, s) for s, (t, _) in sorted(best.items())]
+        rs_pairs = self._equisample(rs_pairs, cfg.num_rs_loops_upper_bound)
+
+        with stage_timer("ltslam.rs_loops.icp", log):
+            data = [
+                self._prepare_icp_pair(1, src, 0, tgt, central_coords=True)
+                for (tgt, src) in rs_pairs
+            ]
+            # source cloud is in the source node's body frame; its central pose
+            # estimate serves as the ICP initial guess error — start from the
+            # current relative estimate (identity error)
+            inits = np.stack([
+                np.linalg.inv(self.anchors[0] @ target.poses_local[tgt])
+                @ (anchor_q @ source.poses_local[src])
+                for (tgt, src) in rs_pairs
+            ]).astype(np.float32)
+            results = self._run_icp_batches(data, inits)
+
+        added = 0
+        for (tgt, src), (T_icp, fitness) in zip(rs_pairs, results):
+            if fitness < cfg.loop_fitness_score_threshold:
+                self.anchored.append(
+                    (
+                        self._node_var(0, tgt),
+                        self._node_var(1, src),
+                        self._anchor_var(0),
+                        self._anchor_var(1),
+                        T_icp,
+                        cfg.robust_variances,
+                    )
+                )
+                added += 1
+        log.info("RS loops: %d/%d passed ICP fitness", added, len(rs_pairs))
+        self.diag["rs_loops_added"] = added
+        return added
+
+    # ------------------------------------------------------------------
+    def _write_trajectories(self, save_directory: str, postfix: str):
+        """``writeAllSessionsTrajectories`` (``LTslam.cpp:11-67``)."""
+        os.makedirs(save_directory, exist_ok=True)
+        for s_idx, sess in enumerate(self.sessions):
+            local = sess.poses_local[: sess.num_nodes]
+            central = np.einsum("ij,njk->nik", self.anchors[s_idx], local)
+            write_kitti_poses(os.path.join(save_directory, f"{sess.name}_local_{postfix}.txt"), local)
+            write_kitti_poses(os.path.join(save_directory, f"{sess.name}_central_{postfix}.txt"), central)

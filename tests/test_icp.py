@@ -1,0 +1,70 @@
+import jax.numpy as jnp
+import numpy as np
+
+from ltm.core import se3
+from ltm.register import icp_batch, icp_point_to_point, fitness_score
+
+
+def structured_cloud(rng, n=1500):
+    """Non-degenerate scene: three walls + ground + clutter."""
+    g = rng.uniform(-10, 10, size=(n // 3, 2))
+    ground = np.concatenate([g, np.zeros((len(g), 1))], -1)
+    w1 = np.stack([rng.uniform(-10, 10, n // 4), np.full(n // 4, 8.0), rng.uniform(0, 3, n // 4)], -1)
+    w2 = np.stack([np.full(n // 4, -9.0), rng.uniform(-10, 10, n // 4), rng.uniform(0, 3, n // 4)], -1)
+    clutter = rng.uniform(-8, 8, size=(n - len(ground) - len(w1) - len(w2), 3)) * np.array([1, 1, 0.3])
+    return np.concatenate([ground, w1, w2, clutter]).astype(np.float32)
+
+
+def test_icp_recovers_known_transform(rng):
+    src = structured_cloud(rng)
+    T_gt = np.asarray(se3.from_rpy(0.0, 0.0, 0.15, t=[0.8, -0.5, 0.1]))
+    tgt = src @ T_gt[:3, :3].T + T_gt[:3, 3]
+    n = len(src)
+    res = icp_point_to_point(
+        jnp.asarray(src), jnp.ones(n, bool), jnp.asarray(tgt.astype(np.float32)), jnp.ones(n, bool),
+        max_iterations=60, tile=1024,
+    )
+    err = np.asarray(se3.log(se3.between(jnp.asarray(T_gt, jnp.float32), res.transform)))
+    assert np.abs(err).max() < 1e-3, err
+    assert float(res.fitness) < 1e-4
+    assert bool(res.converged)
+
+
+def test_icp_fitness_on_mismatch(rng):
+    src = structured_cloud(rng, 600)
+    tgt = structured_cloud(np.random.default_rng(99), 600) + np.array([30, 0, 0], np.float32)
+    res = icp_point_to_point(
+        jnp.asarray(src), jnp.ones(len(src), bool), jnp.asarray(tgt), jnp.ones(len(tgt), bool),
+        max_iterations=25, tile=1024,
+    )
+    # unrelated scene far away: fitness should be large
+    assert float(res.fitness) > 0.5
+
+
+def test_fitness_matches_oracle(rng):
+    src = rng.normal(size=(100, 3)).astype(np.float32)
+    tgt = rng.normal(size=(200, 3)).astype(np.float32)
+    T = jnp.eye(4)
+    f = float(fitness_score(jnp.asarray(src), jnp.ones(100, bool), jnp.asarray(tgt), jnp.ones(200, bool), T, tile=64))
+    d2 = ((src[:, None] - tgt[None]) ** 2).sum(-1).min(1)
+    np.testing.assert_allclose(f, d2.mean(), rtol=1e-4)
+
+
+def test_icp_batch(rng):
+    src = structured_cloud(rng, 900)
+    T1 = np.asarray(se3.from_rpy(0, 0, 0.1, t=[0.5, 0.2, 0.0]))
+    T2 = np.asarray(se3.from_rpy(0, 0, -0.08, t=[-0.4, 0.6, 0.0]))
+    tgts = np.stack([src @ T[:3, :3].T + T[:3, 3] for T in (T1, T2)]).astype(np.float32)
+    srcs = np.stack([src, src])
+    masks = np.ones((2, len(src)), bool)
+    res = icp_batch(jnp.asarray(srcs), jnp.asarray(masks), jnp.asarray(tgts), jnp.asarray(masks),
+                    max_iterations=50, tile=1024)
+    for b, T_gt in enumerate((T1, T2)):
+        err = np.asarray(se3.log(se3.between(jnp.asarray(T_gt, jnp.float32), res.transform[b])))
+        assert np.abs(err).max() < 2e-3, (b, err)
+
+
+def test_icp_empty_target():
+    src = jnp.asarray(np.random.default_rng(0).normal(size=(50, 3)), jnp.float32)
+    res = icp_point_to_point(src, jnp.ones(50, bool), src, jnp.zeros(50, bool), max_iterations=5, tile=64)
+    assert not bool(res.converged)

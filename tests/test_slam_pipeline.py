@@ -1,0 +1,86 @@
+"""End-to-end LT-SLAM on the synthetic ParkingLot: ATE vs ground truth.
+
+This is the "minimum end-to-end slice" milestone (SURVEY.md §7 step 4,
+BASELINE.json config 1): two sessions with a known anchor offset must align
+into the central frame within a tight ATE bound.
+"""
+
+import numpy as np
+import pytest
+
+from ltm.core.config import LTSlamConfig
+from ltm.io.synthetic import make_two_sessions
+from ltm.slam import LTSlam
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return make_two_sessions(num_keyframes=24, num_cars=10, num_changed=4,
+                             max_scan_points=4000, seed=3)
+
+
+@pytest.fixture(scope="module")
+def slam_result(bundle, tmp_path_factory):
+    cfg = LTSlamConfig()
+    cfg.max_nodes_per_session = 32
+    cfg.scan_capacity = 6144
+    cfg.icp.history_search_num = 5
+    cfg.icp.source_capacity = 2048
+    cfg.icp.target_capacity = 8192
+    cfg.num_sc_loops_upper_bound = 12
+    cfg.loop_fitness_score_threshold = 0.7
+    cfg.icp.update_trim_distance = 2.0
+    out = str(tmp_path_factory.mktemp("ltslam_out"))
+    result = LTSlam(cfg).run(bundle["central"].data, bundle["query"].data, save_directory=out)
+    return result, out
+
+
+def ate(poses_est, poses_gt):
+    return np.linalg.norm(poses_est[:, :3, 3] - poses_gt[:, :3, 3], axis=1)
+
+
+def test_sc_loops_found_and_added(slam_result):
+    result, _ = slam_result
+    assert result.num_sc_loops >= 4, result.diagnostics
+
+
+def test_anchor_recovered(bundle, slam_result):
+    result, _ = slam_result
+    anchor_est = result.anchors["02"]
+    anchor_gt = bundle["anchor_query"]
+    err_t = np.linalg.norm(anchor_est[:3, 3] - anchor_gt[:3, 3])
+    err_r = np.degrees(
+        np.arccos(np.clip((np.trace(anchor_est[:3, :3].T @ anchor_gt[:3, :3]) - 1) / 2, -1, 1))
+    )
+    assert err_t < 0.3, (err_t, anchor_est, anchor_gt)
+    assert err_r < 1.5, err_r
+
+
+def test_central_trajectory_ate(bundle, slam_result):
+    result, _ = slam_result
+    for name, syn in (("01", bundle["central"]), ("02", bundle["query"])):
+        est = result.central_poses[name]
+        gt = syn.site_poses
+        e = ate(est, gt)
+        assert e.mean() < 0.2, (name, e.mean(), e.max())
+        assert e.max() < 0.5, (name, e.max())
+
+
+def test_trajectory_files_written(slam_result):
+    import os
+
+    from ltm.io.poses import read_kitti_poses
+
+    result, out = slam_result
+    for name in ("01", "02"):
+        for postfix in ("bfr_intersession_loops", "aft_intersession_loops"):
+            for kind in ("local", "central"):
+                p = os.path.join(out, f"{name}_{kind}_{postfix}.txt")
+                assert os.path.exists(p), p
+                poses = read_kitti_poses(p)
+                assert poses.shape[0] == 24
+    # central == anchor ∘ local
+    local = read_kitti_poses(os.path.join(out, "02_local_aft_intersession_loops.txt"))
+    central = read_kitti_poses(os.path.join(out, "02_central_aft_intersession_loops.txt"))
+    anchor = result.anchors["02"]
+    np.testing.assert_allclose(np.einsum("ij,njk->nik", anchor, local), central, atol=1e-5)
