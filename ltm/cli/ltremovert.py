@@ -1,0 +1,57 @@
+"""LT-removert/LT-map entry point (mirrors ``roslaunch removert
+run_ltmapper.launch``).
+
+Usage:
+    python -m ltm.cli.ltremovert --config params_ltmapper.yaml
+    python -m ltm.cli.ltremovert --central-scans DIR --central-poses F \
+        --query-scans DIR --query-poses F --out OUT
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ltm.core.config import RemovertConfig, load_yaml
+from ltm.removert import Removerter, RemovertInput
+from ltm.utils import get_logger
+
+log = get_logger("ltm.cli.ltremovert")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="TPU-native LT-removert + LT-map")
+    ap.add_argument("--config", help="YAML config (RemovertConfig fields)")
+    ap.add_argument("--central-scans")
+    ap.add_argument("--central-poses")
+    ap.add_argument("--query-scans")
+    ap.add_argument("--query-poses")
+    ap.add_argument("--out")
+    args = ap.parse_args(argv)
+
+    cfg = load_yaml(args.config, "removert") if args.config else RemovertConfig()
+    if args.central_scans:
+        cfg.central_sess_scan_dir = args.central_scans
+    if args.central_poses:
+        cfg.central_sess_pose_path = args.central_poses
+    if args.query_scans:
+        cfg.query_sess_scan_dir = args.query_scans
+    if args.query_poses:
+        cfg.query_sess_pose_path = args.query_poses
+    if args.out:
+        cfg.save_pcd_directory = args.out
+    for field in ("central_sess_scan_dir", "central_sess_pose_path",
+                  "query_sess_scan_dir", "query_sess_pose_path"):
+        if not getattr(cfg, field):
+            ap.error(f"{field} required (via --config or CLI flags)")
+
+    central = RemovertInput.from_dirs(cfg.central_sess_scan_dir, cfg.central_sess_pose_path)
+    query = RemovertInput.from_dirs(cfg.query_sess_scan_dir, cfg.query_sess_pose_path)
+    log.info("central: %d scans | query: %d scans", len(central.scans), len(query.scans))
+
+    Removerter(cfg).run(central, query, save_directory=cfg.save_pcd_directory)
+    log.info("artifacts written to %s", cfg.save_pcd_directory)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

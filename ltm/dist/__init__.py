@@ -1,0 +1,7 @@
+from ltm.dist.mesh import KF_AXIS, make_mesh, pad_to_multiple  # noqa: F401
+from ltm.dist.sharding import (  # noqa: F401
+    knn_avg_sqdist_sharded,
+    sc_distance_sharded,
+    sweep_discrepancy_sharded,
+)
+from ltm.dist.solver import pad_graph_for_mesh, solve_sharded  # noqa: F401

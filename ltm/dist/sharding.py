@@ -1,0 +1,114 @@
+"""Keyframe-sharded kernels via shard_map + collectives.
+
+Each wrapper shards the embarrassingly parallel axis across the mesh and
+reduces with one collective:
+
+  * ``sweep_discrepancy_sharded``  — keyframes split across devices, map
+    replicated; per-device OR masks combined with a ``psum`` (logical OR);
+  * ``knn_avg_sqdist_sharded``     — queries split, target map replicated;
+    pure concatenation along the sharded axis (no collective needed);
+  * ``sc_distance_sharded``        — Scan Context query rows split.
+
+These mirror the reference's OpenMP loops (``ltremovert/src/Session.cpp:
+408,491``, ``ltslam/src/LTslam.cpp:389,534``) at chip scale.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ltm.dist.mesh import KF_AXIS, pad_to_multiple
+from ltm.kernels.knn import knn_avg_sqdist
+from ltm.kernels.projection import discrepancy_mask
+from ltm.retrieval.scancontext import sc_distance_matrix
+
+__all__ = ["sweep_discrepancy_sharded", "knn_avg_sqdist_sharded", "sc_distance_sharded"]
+
+
+def sweep_discrepancy_sharded(
+    mesh: Mesh,
+    map_xyz: jax.Array, map_mask: jax.Array,
+    scans_xyz: jax.Array, scans_mask: jax.Array, pose_inv: jax.Array,
+    fov: Tuple[float, float], shape: Tuple[int, int],
+    diff_threshold: float = 0.1, reverse: bool = False,
+) -> jax.Array:
+    """OR over keyframes of the visibility discrepancy, keyframes sharded."""
+    n_dev = mesh.devices.size
+    scans_xyz = pad_to_multiple(scans_xyz, n_dev)
+    scans_mask = pad_to_multiple(scans_mask, n_dev)
+    pose_inv = pad_to_multiple(pose_inv, n_dev)
+    # padded keyframes: identity pose + empty masks contribute nothing
+
+    def local(mx, mm, sx, sm, pi):
+        def body(carry, inp):
+            s_xyz, s_mask, Tinv = inp
+            loc = mx @ Tinv[:3, :3].T + Tinv[:3, 3]
+            dyn = discrepancy_mask(loc, mm, s_xyz, s_mask, fov, shape, diff_threshold, reverse)
+            return carry | dyn, None
+
+        init = jax.lax.pvary(jnp.zeros(mx.shape[:-1], bool), KF_AXIS)
+        out, _ = jax.lax.scan(body, init, (sx, sm, pi))
+        # logical OR across devices
+        return jax.lax.psum(out.astype(jnp.int32), KF_AXIS) > 0
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(KF_AXIS), P(KF_AXIS), P(KF_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(map_xyz, map_mask, scans_xyz, scans_mask, pose_inv)
+
+
+def knn_avg_sqdist_sharded(
+    mesh: Mesh,
+    query_xyz: jax.Array, query_mask: jax.Array,
+    target_xyz: jax.Array, target_mask: jax.Array,
+    k: int = 2, tile: int = 8192,
+) -> jax.Array:
+    """Queries sharded across devices, target replicated."""
+    n = query_xyz.shape[0]
+    n_dev = mesh.devices.size
+    qx = pad_to_multiple(query_xyz, n_dev)
+    qm = pad_to_multiple(query_mask, n_dev)
+
+    def local(qx_, qm_, tx, tm):
+        return knn_avg_sqdist(qx_, qm_, tx, tm, k=k, tile=tile)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(KF_AXIS), P(KF_AXIS), P(), P()),
+        out_specs=P(KF_AXIS),
+        check_vma=False,
+    )
+    return fn(qx, qm, target_xyz, target_mask)[:n]
+
+
+def sc_distance_sharded(
+    mesh: Mesh,
+    query_descs: jax.Array, target_descs: jax.Array,
+    full_shift_search: bool = True, search_ratio: float = 0.1,
+):
+    """All-pairs SC distance with query rows sharded."""
+    q = query_descs.shape[0]
+    n_dev = mesh.devices.size
+    qd = pad_to_multiple(query_descs, n_dev)
+
+    def local(qd_, td):
+        return sc_distance_matrix(qd_, td, full_shift_search=full_shift_search,
+                                  search_ratio=search_ratio)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(KF_AXIS), P()),
+        out_specs=(P(KF_AXIS), P(KF_AXIS)),
+        check_vma=False,
+    )
+    dist, shift = fn(qd, target_descs)
+    return dist[:q], shift[:q]

@@ -53,6 +53,15 @@ def _free(delta: jax.Array, g: GraphData) -> jax.Array:
     return jnp.where(g.fixed[:, None], 0.0, delta)
 
 
+def _maybe_psum(x, axis_name):
+    """Cross-device reduction hook: identity on a single device, ``psum``
+    over the mesh axis when the factor batches are sharded (distributed BA —
+    per-shard Hessian/gradient contributions reduced over ICI)."""
+    if axis_name is None:
+        return x
+    return jax.lax.psum(x, axis_name)
+
+
 def _weighted_residual_fn(poses: jax.Array, g: GraphData, wb, wa):
     """Returns f(delta) -> flat residual with IRLS weights baked in."""
 
@@ -66,7 +75,7 @@ def _weighted_residual_fn(poses: jax.Array, g: GraphData, wb, wa):
     return f
 
 
-def _block_jacobi(poses: jax.Array, g: GraphData, wb, wa, lam) -> jax.Array:
+def _block_jacobi(poses: jax.Array, g: GraphData, wb, wa, lam, axis_name=None) -> jax.Array:
     """(V, 6, 6) inverse of blockdiag(JᵀJ) + lam I via per-factor autodiff."""
     V = g.num_vars
     blocks = jnp.zeros((V, 6, 6), poses.dtype)
@@ -109,6 +118,7 @@ def _block_jacobi(poses: jax.Array, g: GraphData, wb, wa, lam) -> jax.Array:
         J = J * wafac
         blocks = blocks.at[idx].add(jnp.einsum("fij,fik->fjk", J, J))
 
+    blocks = _maybe_psum(blocks, axis_name)
     eye = jnp.eye(6, dtype=poses.dtype)
     blocks = blocks + lam * eye
     # fixed vars: identity so the (zeroed) components stay zero
@@ -154,13 +164,13 @@ def _pcg(hvp, b, minv_blocks, g: GraphData, iters: int, tol: float):
 # LM driver
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_outer_iterations", "cg_iterations"))
+@partial(jax.jit, static_argnames=("max_outer_iterations", "cg_iterations", "axis_name"))
 def _solve_impl(g: GraphData, max_outer_iterations: int, cg_iterations: int,
                 cg_tol: float, lambda_init: float, lambda_up: float,
-                lambda_down: float, cauchy_k: float):
+                lambda_down: float, cauchy_k: float, axis_name=None):
     def cost_at(poses):
         rp, rb, ra = whitened_residuals(poses, g)
-        return total_cost(rp, rb, ra, g, cauchy_k)
+        return _maybe_psum(total_cost(rp, rb, ra, g, cauchy_k), axis_name)
 
     def lm_step(state):
         poses, lam, it, cost, done, cg_res = state
@@ -172,13 +182,13 @@ def _solve_impl(g: GraphData, max_outer_iterations: int, cg_iterations: int,
         r0, jvp_fn = jax.linearize(f, zero)
         vjp_fn = jax.linear_transpose(jvp_fn, zero)
 
-        grad = vjp_fn(r0)[0]              # Jᵀ r
+        grad = _maybe_psum(vjp_fn(r0)[0], axis_name)              # Jᵀ r
         b = -_free(grad, g)
 
         def hvp(v):
-            return vjp_fn(jvp_fn(_free(v, g)))[0] + lam * v
+            return _maybe_psum(vjp_fn(jvp_fn(_free(v, g)))[0], axis_name) + lam * v
 
-        minv = _block_jacobi(poses, g, wb, wa, lam)
+        minv = _block_jacobi(poses, g, wb, wa, lam, axis_name)
         delta, res = _pcg(hvp, b, minv, g, cg_iterations, cg_tol)
 
         cand = se3.retract(poses, _free(delta, g))
@@ -203,7 +213,7 @@ def _solve_impl(g: GraphData, max_outer_iterations: int, cg_iterations: int,
     return poses, SolveInfo(c0, cost, it, cg_res)
 
 
-def solve(g: GraphData, cfg: SolverConfig = SolverConfig()) -> Tuple[jax.Array, SolveInfo]:
+def solve(g: GraphData, cfg: SolverConfig = SolverConfig(), axis_name=None) -> Tuple[jax.Array, SolveInfo]:
     """Optimize; returns (poses (V,4,4), SolveInfo)."""
     return _solve_impl(
         g,
@@ -214,6 +224,7 @@ def solve(g: GraphData, cfg: SolverConfig = SolverConfig()) -> Tuple[jax.Array, 
         lambda_up=cfg.lambda_up,
         lambda_down=cfg.lambda_down,
         cauchy_k=cfg.cauchy_k,
+        axis_name=axis_name,
     )
 
 

@@ -70,6 +70,13 @@ def _parse_header(data: bytes):
 
 def read_pcd(path: str, want_intensity: bool = True) -> np.ndarray:
     """Read a PCD file -> (N, 4) float32 [x, y, z, intensity] (or (N,3))."""
+    from ltm.io import native
+
+    if native.available():
+        out = native.read_pcd_native(path)
+        if out is not None:
+            return out if want_intensity else out[:, :3]
+
     with open(path, "rb") as f:
         data = f.read()
     fields, sizes, types, counts, points, fmt, offset = _parse_header(data)
@@ -170,6 +177,13 @@ def write_pcd(path: str, xyz: np.ndarray, intensity: Optional[np.ndarray] = None
     if intensity is None:
         intensity = np.zeros((n,), np.float32)
     intensity = np.asarray(intensity, np.float32).reshape(n)
+
+    from ltm.io import native
+
+    if native.available():
+        body = np.concatenate([xyz, intensity[:, None]], axis=1)
+        if native.write_pcd_native(path, body, binary=binary):
+            return
 
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\n"

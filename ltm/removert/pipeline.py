@@ -1,0 +1,317 @@
+"""LT-removert + LT-map: dynamic removal, change detection, map update.
+
+Reference: ``Removerter::run`` (``ltremovert/src/Removerter.cpp:1653-1678``):
+  Step 0 prep (load, parse keyframes, preclean, global maps)
+  Step 1 high-dynamic removal (self visibility check per session)
+  Step 2 low-dynamic PD/ND change detection (cross-session kNN + 3×
+         visibility re-checks → strong/weak split, weak→strong propagation)
+  Step 3 LT-map composition (union + weak-ND + PD) and scan-wise updates.
+
+TPU re-design (not a port): each session's global map is ONE padded array;
+every stage is a boolean mask over it — "removing" points never reallocates.
+The visibility sweeps stream keyframes through jitted scatter-min kernels
+(``ltm.kernels.projection``), kNN stages are tiled MXU matmuls
+(``ltm.kernels.knn``), and the delta-map compositions are mask unions +
+voxel dedupe.  The reference's per-stage octree re-dedups are unnecessary
+here: the map was deduplicated once at construction and points never
+duplicate (behavioral simplification, same point sets).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ltm.core.config import RemovertConfig
+from ltm.kernels.knn import chunked_knn_avg_sqdist
+from ltm.kernels.projection import (
+    rimg_shape,
+    sweep_discrepancy,
+    sweep_discrepancy_projected,
+    sweep_visibility,
+    winner_mask,
+)
+from ltm.kernels.voxel import voxel_unique_mask
+from ltm.io.pcd import write_pcd
+from ltm.removert.session import (
+    RemovertInput,
+    RemovertSession,
+    parse_keyframe_indices,
+    parse_keyframes_in_roi,
+)
+from ltm.utils import get_logger, stage_timer
+
+__all__ = ["Removerter", "RemovertResult"]
+
+log = get_logger("ltm.removert")
+
+
+@dataclass
+class RemovertResult:
+    """All named point sets as (xyz, mask) pairs over fixed arrays."""
+
+    central: RemovertSession
+    query: RemovertSession
+    combined_xyz: jax.Array               # concat(central map, query map)
+    masks: Dict[str, jax.Array] = field(default_factory=dict)
+
+    def points(self, name: str) -> np.ndarray:
+        """Compact a named set to a host (M, 3) array.
+
+        Map-level sets: static_c/dynamic_c/static_q/dynamic_q, coexist_c,
+        coexist_q, nd, nd_strong, nd_weak, pd, pd_strong, pd_weak,
+        updated, updated_strong.
+        """
+        m = self.masks[name]
+        if name in ("updated", "updated_strong"):
+            xyz = self.combined_xyz
+        elif name.endswith("_q") or name.startswith("pd"):
+            xyz = self.query.map_xyz
+        else:
+            xyz = self.central.map_xyz
+        return np.asarray(xyz)[np.asarray(m)]
+
+
+class Removerter:
+    def __init__(self, cfg: Optional[RemovertConfig] = None):
+        self.cfg = cfg or RemovertConfig()
+
+    # ------------------------------------------------------------------
+    def run(self, central_inp: RemovertInput, query_inp: RemovertInput,
+            save_directory: Optional[str] = None) -> RemovertResult:
+        cfg = self.cfg
+        fov = (cfg.vfov, cfg.hfov)
+
+        # ---------------- Step 0: prep -----------------------------------
+        with stage_timer("removert.prep", log):
+            c_idx = parse_keyframe_indices(len(central_inp.scans), cfg.start_idx, cfg.end_idx, cfg.keyframe_gap)
+            central = RemovertSession.build(central_inp, cfg, "Central", c_idx)
+            roi = np.asarray(central.poses)[: central.num_keyframes].astype(np.float64)
+            q_idx = parse_keyframes_in_roi(query_inp.poses, roi, cfg.roi_inplace_threshold, cfg.keyframe_gap)
+            query = RemovertSession.build(query_inp, cfg, "Query", q_idx)
+        log.info("central: %d keyframes, %d map pts | query: %d keyframes, %d map pts",
+                 central.num_keyframes, int(central.map_mask.sum()),
+                 query.num_keyframes, int(query.map_mask.sum()))
+
+        # ---------------- Step 1: high-dynamic removal --------------------
+        with stage_timer("removert.high_dynamic", log):
+            for sess in (central, query):
+                self._remove_high_dynamic(sess, fov)
+        # projected static coverage at the reprojection resolution
+        with stage_timer("removert.project_static", log):
+            proj_shape = rimg_shape(fov, cfg.reprojection_alpha)
+            for sess in (central, query):
+                sess.masks["proj_static"] = sweep_visibility(
+                    sess.map_xyz, sess.masks["static"], sess.poses_inv, fov, proj_shape
+                )
+
+        # ---------------- Step 2: low-dynamic change detection ------------
+        with stage_timer("removert.knn_diff", log):
+            nd_cand, coexist_c = self._knn_partition(central, query)
+            pd_cand, coexist_q = self._knn_partition(query, central)
+        log.info("ND candidates: %d | PD candidates: %d",
+                 int(nd_cand.sum()), int(pd_cand.sum()))
+
+        with stage_timer("removert.strong_weak", log):
+            nd_strong, nd_weak = self._filter_strong(
+                central, nd_cand, query, fov, reverse=True
+            )
+            nd_strong, nd_weak = self._propagate_weak_to_strong(central, nd_strong, nd_weak)
+            pd_strong, pd_weak = self._filter_strong(
+                query, pd_cand, central, fov, reverse=False
+            )
+            # reference revertStrongPDMapPointsHavingWeakPDInNear is an empty
+            # TODO (Session.cpp:447-450) — intentionally not applied here.
+
+        # ---------------- Step 3: LT-map composition ----------------------
+        with stage_timer("removert.compose", log):
+            from ltm.ltmap import compose_updated_maps
+
+            comb_xyz, updated, updated_strong = compose_updated_maps(
+                central.map_xyz, query.map_xyz, coexist_c, nd_weak,
+                coexist_q, pd_cand, pd_strong, cfg.downsample_voxel_size,
+            )
+
+        masks = {
+            "static_c": central.masks["static"],
+            "dynamic_c": central.masks["dynamic"],
+            "static_q": query.masks["static"],
+            "dynamic_q": query.masks["dynamic"],
+            "coexist_c": coexist_c,
+            "coexist_q": coexist_q,
+            "nd": nd_cand,
+            "nd_strong": nd_strong,
+            "nd_weak": nd_weak,
+            "pd": pd_cand,
+            "pd_strong": pd_strong,
+            "pd_weak": pd_weak,
+            "updated": updated,
+            "updated_strong": updated_strong,
+        }
+        result = RemovertResult(central=central, query=query, combined_xyz=comb_xyz, masks=masks)
+
+        if save_directory:
+            with stage_timer("removert.save", log):
+                self._save_artifacts(result, save_directory, fov)
+        return result
+
+    # ------------------------------------------------------------------
+    def _remove_high_dynamic(self, sess: RemovertSession, fov):
+        """``removeHighDynamicPoints`` → ``removeOnce(sess, sess, res)``
+        (``Removerter.cpp:1580-1604,882-905``)."""
+        cfg = self.cfg
+        cur = sess.map_mask
+        dynamic = jnp.zeros_like(cur)
+        for res in cfg.remove_resolution_list:
+            shape = rimg_shape(fov, res)
+            dyn = sweep_discrepancy(
+                sess.map_xyz, cur, sess.scans_xyz, sess.scans_mask, sess.poses_inv,
+                fov, shape, cfg.diff_threshold, False,
+            )
+            dynamic = dynamic | dyn
+            cur = cur & ~dyn
+        sess.masks["static"] = cur
+        sess.masks["dynamic"] = dynamic
+        log.info("%s HD removal: %d static / %d dynamic",
+                 sess.sess_type, int(cur.sum()), int(dynamic.sum()))
+
+    def _knn_partition(self, sess: RemovertSession, other: RemovertSession):
+        """``extractLowDynPointsViaKnnDiff`` against the other session's
+        static map (``Session.cpp:393-427,537-607``).
+
+        The reference queries each *projected static scan* point; the kNN
+        verdict depends only on the point (same map point, same target map),
+        so we evaluate once per map point and restrict to the projected-
+        visible set — identical point sets, no per-keyframe duplication.
+        """
+        cfg = self.cfg
+        eligible = sess.masks["static"] & sess.masks["proj_static"]
+        d = chunked_knn_avg_sqdist(
+            sess.map_xyz, eligible, other.map_xyz, other.masks["static"],
+            k=cfg.num_knn_points, tile=8192, query_chunk=16384,
+        )
+        close = d < cfg.knn_avg_sqdist_threshold
+        coexist = eligible & close
+        diff = eligible & ~close
+        return diff, coexist
+
+    def _filter_strong(self, sess: RemovertSession, cand: jax.Array,
+                       source: RemovertSession, fov, reverse: bool):
+        """3× visibility re-checks of a delta map against the source
+        session's projected static scans (``filterStrongND``/``filterStrongPD``,
+        ``Removerter.cpp:1395-1411``; reversed diff for ND per ``:516``)."""
+        cfg = self.cfg
+        shape = rimg_shape(fov, cfg.nd_pd_filter_resolution)
+        proj_shape = rimg_shape(fov, cfg.reprojection_alpha)
+        cur = cand
+        weak = jnp.zeros_like(cand)
+        for _ in range(cfg.nd_pd_filter_repeats):
+            flagged = sweep_discrepancy_projected(
+                sess.map_xyz, cur, source.map_xyz, source.masks["static"],
+                source.poses_inv, fov, shape, proj_shape, cfg.diff_threshold, reverse,
+            )
+            weak = weak | flagged
+            cur = cur & ~flagged
+        return cur, weak
+
+    def _propagate_weak_to_strong(self, sess: RemovertSession, strong, weak):
+        """``removeWeakNDMapPointsHavingStrongNDInNear``
+        (``Session.cpp:452-484``): weak points whose 2-NN average squared
+        distance to the strong set is below 1 m² join the strong set."""
+        cfg = self.cfg
+        if not bool(strong.any()):
+            return strong, weak
+        d = chunked_knn_avg_sqdist(
+            sess.map_xyz, weak, sess.map_xyz, strong,
+            k=cfg.num_knn_points, tile=8192, query_chunk=16384,
+        )
+        promote = weak & (d < cfg.weak_to_strong_sqdist_threshold)
+        return strong | promote, weak & ~promote
+
+    # ------------------------------------------------------------------
+    # artifacts (reference save tree, Removerter.cpp:30-50,1442-1650)
+    # ------------------------------------------------------------------
+    def _scan_winners(self, xyz, mask, pose_inv, fov, shape):
+        local = xyz @ pose_inv[:3, :3].T + pose_inv[:3, 3]
+        win, *_ = winner_mask(local, mask, fov, shape)
+        return local, win
+
+    @staticmethod
+    def _all_keyframe_winners(xyz, mask, pose_invs, fov, shape):
+        """(K, N, 3) local points + (K, N) winner masks in one vmapped call."""
+        import jax
+
+        def one(Tinv):
+            local = xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+            win, *_ = winner_mask(local, mask, fov, shape)
+            return local, win
+
+        return jax.lax.map(one, pose_invs)
+
+    def _save_artifacts(self, result: RemovertResult, out_dir: str, fov):
+        cfg = self.cfg
+        os.makedirs(out_dir, exist_ok=True)
+        for sub in ("scans_updated", "scans_updated_strong", "scans_pd",
+                    "scans_pd_strong", "scans_nd_strong", "map_static", "map_dynamic"):
+            os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+        c, q = result.central, result.query
+        save = lambda name, pts: write_pcd(os.path.join(out_dir, name), pts)
+
+        if cfg.save_map_pcd:
+            save("OriginalNoisyCentralMapGlobal.pcd", np.asarray(c.map_xyz)[np.asarray(c.map_mask)])
+            save("OriginalNoisyQueryMapGlobal.pcd", np.asarray(q.map_xyz)[np.asarray(q.map_mask)])
+            res_str = f"ResX{cfg.remove_resolution_list[-1]}"
+            save(f"map_static/CentralStaticMapMapsideGlobal{res_str}.pcd", result.points("static_c"))
+            save(f"map_dynamic/CentralDynamicMapMapsideGlobal{res_str}.pcd", result.points("dynamic_c"))
+            save(f"map_static/QueryStaticMapMapsideGlobal{res_str}.pcd", result.points("static_q"))
+            save(f"map_dynamic/QueryDynamicMapMapsideGlobal{res_str}.pcd", result.points("dynamic_q"))
+            save("union_map_centralside.pcd", result.points("coexist_c"))
+            save("union_map_queryside.pcd", result.points("coexist_q"))
+            save("nd_map.pcd", result.points("nd"))
+            save("pd_map.pcd", result.points("pd"))
+            save("strong_nd_map.pcd", result.points("nd_strong"))
+            save("weak_nd_map.pcd", result.points("nd_weak"))
+            save("strong_pd_map.pcd", result.points("pd_strong"))
+            save("weak_pd_map.pcd", result.points("pd_weak"))
+            save("updated_map.pcd", result.points("updated"))
+            save("updated_map_strong.pcd", result.points("updated_strong"))
+
+        if not cfg.save_clean_scans_pcd:
+            return
+
+        # scan-wise updates for the central session (Removerter.cpp:1540-1650)
+        proj_shape = rimg_shape(fov, cfg.reprojection_alpha)
+        comb_mask_u = result.masks["updated"]
+        comb_mask_us = result.masks["updated_strong"]
+        pd_on_query = result.masks["pd"]
+        pd_strong_on_query = result.masks["pd_strong"]
+        nd_weak_c = result.masks["nd_weak"]
+        nd_strong_c = result.masks["nd_strong"]
+        comb = result.combined_xyz
+        K = c.num_keyframes
+        pose_invs = c.poses_inv[:K]
+        upd_l, upd_w = map(np.asarray, self._all_keyframe_winners(comb, comb_mask_u, pose_invs, fov, proj_shape))
+        us_l, us_w = map(np.asarray, self._all_keyframe_winners(comb, comb_mask_us, pose_invs, fov, proj_shape))
+        pd_l, pd_w = map(np.asarray, self._all_keyframe_winners(q.map_xyz, pd_on_query, pose_invs, fov, proj_shape))
+        pds_l, pds_w = map(np.asarray, self._all_keyframe_winners(q.map_xyz, pd_strong_on_query, pose_invs, fov, proj_shape))
+        ndw_l, ndw_w = map(np.asarray, self._all_keyframe_winners(c.map_xyz, nd_weak_c, pose_invs, fov, proj_shape))
+        nds_l, nds_w = map(np.asarray, self._all_keyframe_winners(c.map_xyz, nd_strong_c, pose_invs, fov, proj_shape))
+        for k in range(K):
+            name = c.names[k]
+            # final per-scan update = updated + weak ND + PD, 0.05 dedupe
+            # (Session::updateScansScanwise, Session.cpp:362-380)
+            pts = np.concatenate([upd_l[k][upd_w[k]], ndw_l[k][ndw_w[k]], pd_l[k][pd_w[k]]])
+            if len(pts):
+                keep = voxel_unique_mask(jnp.asarray(pts), jnp.ones(len(pts), bool), cfg.downsample_voxel_size)
+                pts = pts[np.asarray(keep)]
+            write_pcd(os.path.join(out_dir, "scans_updated", name), pts)
+            write_pcd(os.path.join(out_dir, "scans_updated_strong", name), us_l[k][us_w[k]])
+            write_pcd(os.path.join(out_dir, "scans_pd", name), pd_l[k][pd_w[k]])
+            write_pcd(os.path.join(out_dir, "scans_pd_strong", name), pds_l[k][pds_w[k]])
+            write_pcd(os.path.join(out_dir, "scans_nd_strong", name), nds_l[k][nds_w[k]])

@@ -1,0 +1,157 @@
+"""End-to-end LT-removert + LT-map on the synthetic ParkingLot.
+
+Exact change-detection ground truth: cars present only in the central
+session must surface as ND; cars present only in the query session as PD;
+the per-keyframe mover as high-dynamic.  (SURVEY.md §4 test pyramid level 3;
+BASELINE.json configs 2-3.)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ltm.core.config import RemovertConfig
+from ltm.io.synthetic import make_two_sessions, MOVER_LABEL_BASE
+from ltm.kernels.knn import nn_sqdist_argmin
+from ltm.removert import Removerter, RemovertInput
+
+
+NUM_KF = 10
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    # full-coverage scans (range covers the whole lot, no subsampling) so the
+    # two sessions observe identical static geometry — change-detection GT is
+    # then exactly the car differences + movers
+    return make_two_sessions(num_keyframes=NUM_KF, num_cars=10, num_changed=4,
+                             max_scan_points=40000, scan_range=70.0,
+                             seed=7, point_noise=0.01)
+
+
+def _input_from(syn):
+    # removert consumes centrally aligned poses (the LT-SLAM output);
+    # here: ground-truth site poses
+    return RemovertInput(scans=[s for s in syn.data.scans], poses=syn.site_poses)
+
+
+@pytest.fixture(scope="module")
+def result(bundle, tmp_path_factory):
+    cfg = RemovertConfig()
+    cfg.max_keyframes = NUM_KF
+    cfg.scan_capacity = 40960
+    cfg.map_capacity = 1 << 17
+    cfg.downsample_voxel_size = 0.1  # coarser voxels keep the CI map small
+    # scale the kNN static-sensitivity with the voxel (reference ties 0.01 m²
+    # to 0.05 m voxels): centroids of matching points may differ ~2 voxels
+    cfg.knn_avg_sqdist_threshold = 0.04
+    cfg.keyframe_gap = 1
+    cfg.end_idx = 10_000
+    out = str(tmp_path_factory.mktemp("removert_out"))
+    res = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]), save_directory=out)
+    return res, out
+
+
+def _label_map_points(session_bundle, sess, world, car_ids):
+    """Label each map point by its nearest generated world point."""
+    from ltm.io.synthetic import ParkingLotWorld
+
+    pts, labels = world.session_points(car_ids)
+    # movers are per-keyframe; label anything not near the static+car world
+    d, idx = nn_sqdist_argmin(
+        sess.map_xyz, sess.map_mask,
+        jnp.asarray(pts, jnp.float32), jnp.ones(len(pts), bool), tile=8192,
+    )
+    d = np.asarray(d)
+    lab = labels[np.asarray(idx)]
+    lab = np.where(d < 0.1**2, lab, MOVER_LABEL_BASE)  # far from world => mover
+    return lab
+
+
+def test_high_dynamic_removal(bundle, result):
+    res, _ = result
+    world = bundle["world"]
+    c = res.central
+    lab = _label_map_points(bundle, c, world, [i for i in range(10) if i not in bundle["pd_car_ids"]])
+    mover = (lab >= MOVER_LABEL_BASE) & np.asarray(c.map_mask)
+    dynamic = np.asarray(res.masks["dynamic_c"])
+    static = np.asarray(res.masks["static_c"])
+    recall = dynamic[mover].mean() if mover.any() else 0.0
+    # static points wrongly removed
+    false_rate = dynamic[(lab == 0) & np.asarray(c.map_mask)].mean()
+    assert recall > 0.55, recall
+    assert false_rate < 0.12, false_rate
+
+
+def _geometric_gt(sess_map_xyz, sess_map_mask, other_world_pts, eligible, gone_thresh=0.3):
+    """A point truly changed iff it is far from EVERY point the other session's
+    world actually contains (robust to labeling noise and mover remnants)."""
+    d, _ = nn_sqdist_argmin(
+        sess_map_xyz, sess_map_mask,
+        jnp.asarray(other_world_pts, jnp.float32), jnp.ones(len(other_world_pts), bool),
+        tile=8192,
+    )
+    return (np.asarray(d) > gone_thresh**2) & eligible
+
+
+def test_nd_pd_detection_iou(bundle, result):
+    res, _ = result
+    world = bundle["world"]
+    nd_ids, pd_ids = bundle["nd_car_ids"], bundle["pd_car_ids"]
+
+    # --- ND: central points absent from the query session's world ---
+    q_cars = [i for i in range(10) if i not in nd_ids]
+    q_world, _ = world.session_points(q_cars)
+    eligible_c = np.asarray(res.masks["static_c"] & res.central.masks["proj_static"])
+    gt_nd = _geometric_gt(res.central.map_xyz, res.central.map_mask, q_world, eligible_c)
+    det_nd = np.asarray(res.masks["nd"])
+    iou_nd = (gt_nd & det_nd).sum() / max((gt_nd | det_nd).sum(), 1)
+
+    # --- PD: query points absent from the central session's world ---
+    c_cars = [i for i in range(10) if i not in pd_ids]
+    c_world, _ = world.session_points(c_cars)
+    eligible_q = np.asarray(res.masks["static_q"] & res.query.masks["proj_static"])
+    gt_pd = _geometric_gt(res.query.map_xyz, res.query.map_mask, c_world, eligible_q)
+    det_pd = np.asarray(res.masks["pd"])
+    iou_pd = (gt_pd & det_pd).sum() / max((gt_pd | det_pd).sum(), 1)
+
+    assert iou_nd > 0.7, iou_nd
+    assert iou_pd > 0.7, iou_pd
+
+
+def test_updated_map_composition(bundle, result):
+    res, _ = result
+    world = bundle["world"]
+    nd_ids, pd_ids = bundle["nd_car_ids"], bundle["pd_car_ids"]
+    updated = res.points("updated")
+    assert len(updated) > 1000
+
+    # updated map should contain PD car regions (newly appeared)
+    for cid in pd_ids:
+        car = world.car_xyz[cid]
+        d = np.linalg.norm(updated[:, None, :] - car[None, :500], axis=-1).min(axis=0)
+        assert (d < 0.3).mean() > 0.5, (cid, (d < 0.3).mean())
+
+    # strong-ND car regions (disappeared) should be gone from updated map
+    gone_frac = []
+    for cid in nd_ids:
+        car = world.car_xyz[cid]
+        d = np.linalg.norm(updated[:, None, :] - car[None, :500], axis=-1).min(axis=0)
+        gone_frac.append((d < 0.1).mean())
+    assert np.mean(gone_frac) < 0.35, gone_frac
+
+
+def test_artifacts_written(result):
+    import os
+
+    res, out = result
+    for f in ("updated_map.pcd", "updated_map_strong.pcd", "nd_map.pcd", "pd_map.pcd",
+              "strong_nd_map.pcd", "weak_nd_map.pcd", "union_map_centralside.pcd",
+              "OriginalNoisyCentralMapGlobal.pcd"):
+        assert os.path.exists(os.path.join(out, f)), f
+    scans = os.listdir(os.path.join(out, "scans_updated"))
+    assert len(scans) == res.central.num_keyframes
+    from ltm.io.pcd import read_pcd
+
+    pts = read_pcd(os.path.join(out, "scans_updated", scans[0]))
+    assert pts.shape[0] > 100
