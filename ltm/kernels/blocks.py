@@ -1,0 +1,184 @@
+"""Block-structured global maps: the locality layer of the hot path.
+
+Dynamic-index ops (scatter/gather) serialize on the TPU scalar unit at ~6
+cycles/element, so the visibility sweep costs ~14 ns per *map point* per
+keyframe no matter how it is phrased.  The winning lever is to touch fewer
+points: a keyframe's range image can only be affected by map points within
+the valid range bound (``kValidDiffUpperBound`` = 200 m — a farther point
+can never be flagged, and culling far points never changes any pixel's
+winner, which is the per-pixel *minimum* range).
+
+So the map is laid out once as fixed-size spatial blocks (coarse voxels,
+points grouped contiguously).  Per keyframe, the nearest ``k_blocks`` blocks
+are gathered at *block granularity* — contiguous DMA, not per-element
+gather — and only that working set is scattered/projected.  Results come
+back to the blocked layout with a block-granular scatter.  The same layout
+is the unit of multi-chip map sharding (SURVEY §2.3 "map-block sharding").
+
+Trade-off: ``k_blocks`` is a static shape; keyframes near map edges process
+padding (masked).  For maps much larger than the sensor range this is a
+large net win (the reference reprojects the *whole* map per keyframe,
+``ltremovert/src/Removerter.cpp:452,508,565``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ltm.kernels.projection import discrepancy_mask, winner_mask
+
+__all__ = ["BlockMap", "build_block_map", "block_sweep_discrepancy", "block_sweep_visibility"]
+
+
+class BlockMap(NamedTuple):
+    """Blocked global map (all arrays fixed-shape)."""
+
+    xyz: jax.Array          # (n_blocks, block_capacity, 3)
+    mask: jax.Array         # (n_blocks, block_capacity)
+    centers: jax.Array      # (n_blocks, 3) — mean of member points
+    radius: jax.Array       # (n_blocks,) — max member distance from center
+    block_valid: jax.Array  # (n_blocks,)
+
+    @property
+    def num_blocks(self) -> int:
+        return self.xyz.shape[0]
+
+    @property
+    def block_capacity(self) -> int:
+        return self.xyz.shape[1]
+
+    def flat_xyz(self) -> jax.Array:
+        return self.xyz.reshape(-1, 3)
+
+    def flat_mask(self) -> jax.Array:
+        return self.mask.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "block_capacity"))
+def build_block_map(
+    xyz: jax.Array,          # (N, 3)
+    mask: jax.Array,         # (N,)
+    cell_size: float,
+    n_blocks: int,
+    block_capacity: int,
+) -> Tuple[BlockMap, jax.Array]:
+    """Group points into coarse-voxel blocks (one-time sort, amortized over
+    every keyframe sweep).  Cells with more points than fit in the remaining
+    block budget spill into extra blocks.  Returns (BlockMap, overflow_count)
+    — overflow_count > 0 means capacity was insufficient and points were
+    dropped (callers should size n_blocks * block_capacity >= N).
+    """
+    n = xyz.shape[0]
+    coords = jnp.floor(xyz / cell_size).astype(jnp.int32)
+    coords = jnp.where(mask[:, None], coords, jnp.int32(2**30))
+
+    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0], (~mask).astype(jnp.int32)))
+    cs = coords[order]
+    ms = mask[order]
+    xs = xyz[order]
+
+    new_cell = jnp.any(cs != jnp.roll(cs, 1, axis=0), axis=-1).at[0].set(True) & ms
+    # position within cell
+    idx = jnp.arange(n)
+    cell_start = jnp.maximum.accumulate(jnp.where(new_cell, idx, 0))
+    within = idx - cell_start
+    # global slot: points stream into blocks of block_capacity in sorted order,
+    # starting a fresh block whenever a new cell begins
+    opens_block = (new_cell | (within % block_capacity == 0)) & ms
+    block_id = jnp.cumsum(opens_block.astype(jnp.int32)) - 1
+    slot = within % block_capacity
+    # (slot restarts at cell starts because within restarts)
+
+    valid = ms & (block_id < n_blocks)
+    overflow = jnp.sum((ms & ~(block_id < n_blocks)).astype(jnp.int32))
+
+    flat_idx = jnp.where(valid, block_id * block_capacity + slot, n_blocks * block_capacity)
+    out_xyz = jnp.zeros((n_blocks * block_capacity + 1, 3), xyz.dtype)
+    out_xyz = out_xyz.at[flat_idx].set(xs, mode="drop")
+    out_mask = jnp.zeros((n_blocks * block_capacity + 1,), bool)
+    out_mask = out_mask.at[flat_idx].set(valid, mode="drop")
+    bxyz = out_xyz[:-1].reshape(n_blocks, block_capacity, 3)
+    bmask = out_mask[:-1].reshape(n_blocks, block_capacity)
+
+    cnt = jnp.sum(bmask, axis=1)
+    centers = jnp.sum(jnp.where(bmask[..., None], bxyz, 0.0), axis=1) / jnp.maximum(cnt, 1)[:, None]
+    d = jnp.linalg.norm(bxyz - centers[:, None, :], axis=-1)
+    radius = jnp.max(jnp.where(bmask, d, 0.0), axis=1)
+    return BlockMap(bxyz, bmask, centers, radius, cnt > 0), overflow
+
+
+def _select_blocks(bm: BlockMap, origin: jax.Array, max_range: float, k_blocks: int):
+    """Indices of the k nearest blocks that intersect the range ball."""
+    d = jnp.linalg.norm(bm.centers - origin, axis=-1) - bm.radius
+    d = jnp.where(bm.block_valid, d, jnp.inf)
+    d = jnp.where(d <= max_range, d, jnp.inf)
+    neg_top, idx = jax.lax.top_k(-d, k_blocks)
+    sel_valid = jnp.isfinite(-neg_top)
+    return idx.astype(jnp.int32), sel_valid
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "k_blocks", "reverse"))
+def block_sweep_discrepancy(
+    bm: BlockMap,
+    scans_xyz: jax.Array,    # (K, S, 3)
+    scans_mask: jax.Array,   # (K, S)
+    pose_inv: jax.Array,     # (K, 4, 4)
+    poses: jax.Array,        # (K, 4, 4) — for block selection origins
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+    k_blocks: int,
+    max_range: float = 200.0,
+    diff_threshold: float = 0.1,
+    reverse: bool = False,
+) -> jax.Array:
+    """Block-local version of ``sweep_discrepancy``; returns the flat
+    (n_blocks*block_capacity,) dynamic mask over the blocked layout."""
+
+    def body(carry, inp):
+        scan_xyz, scan_mask, Tinv, T = inp
+        sel, sel_valid = _select_blocks(bm, T[:3, 3], max_range, k_blocks)
+        work_xyz = bm.xyz[sel].reshape(-1, 3)                       # block-granular gather
+        work_mask = (bm.mask[sel] & sel_valid[:, None]).reshape(-1)
+        local = work_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        dyn = discrepancy_mask(local, work_mask, scan_xyz, scan_mask,
+                               fov, shape, diff_threshold, reverse)
+        dyn_blocks = dyn.reshape(k_blocks, bm.block_capacity)
+        carry = carry.at[sel].max(dyn_blocks)                        # block-granular scatter
+        return carry, None
+
+    init = jnp.zeros((bm.num_blocks, bm.block_capacity), bool)
+    out, _ = jax.lax.scan(body, init, (scans_xyz, scans_mask, pose_inv, poses))
+    return out.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "k_blocks"))
+def block_sweep_visibility(
+    bm: BlockMap,
+    extra_mask: jax.Array,   # (n_blocks*block_capacity,) restrict to subset
+    pose_inv: jax.Array,
+    poses: jax.Array,
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+    k_blocks: int,
+    max_range: float = 200.0,
+) -> jax.Array:
+    """Block-local version of ``sweep_visibility``."""
+    emask = extra_mask.reshape(bm.num_blocks, bm.block_capacity)
+
+    def body(carry, inp):
+        Tinv, T = inp
+        sel, sel_valid = _select_blocks(bm, T[:3, 3], max_range, k_blocks)
+        work_xyz = bm.xyz[sel].reshape(-1, 3)
+        work_mask = (bm.mask[sel] & emask[sel] & sel_valid[:, None]).reshape(-1)
+        local = work_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        win, *_ = winner_mask(local, work_mask, fov, shape)
+        carry = carry.at[sel].max(win.reshape(k_blocks, bm.block_capacity))
+        return carry, None
+
+    init = jnp.zeros((bm.num_blocks, bm.block_capacity), bool)
+    out, _ = jax.lax.scan(body, init, (pose_inv, poses))
+    return out.reshape(-1)

@@ -108,12 +108,26 @@ def discrepancy_mask(
     ``reverse=False``: diff = scan − map (self-removert / PD check,
     ``Removerter.cpp:572,459``);  ``reverse=True``: diff = map − scan (ND
     validity check, ``Removerter.cpp:516``).
+
+    Perf note: dynamic-index ops serialize on the TPU scalar unit (~6
+    cycles/element), so this kernel is structured to touch the map with
+    exactly ONE scatter-min and ONE packed 2-channel gather per keyframe;
+    all image-space work (diff, thresholds) is dense VPU arithmetic.
     """
     scan_img = range_image(scan_xyz, scan_mask, fov, shape)
-    win, pix, _, map_img = winner_mask(map_xyz_local, map_mask, fov, shape)
+    pix, rng = spherical_project(map_xyz_local, fov, shape)
+    rng_masked = jnp.where(map_mask, rng, jnp.inf)
+    n_pix = shape[0] * shape[1]
+    map_img = jnp.full((n_pix,), NO_POINT, map_xyz_local.dtype)
+    map_img = map_img.at[pix].min(rng_masked, mode="drop")
+
     diff_img = (map_img - scan_img) if reverse else (scan_img - map_img)
-    diff = diff_img[pix]
-    return win & (diff > diff_threshold) & (diff < VALID_DIFF_UB)
+    flag_img = (diff_img > diff_threshold) & (diff_img < VALID_DIFF_UB)
+    # pack (min range, flag) so the per-point pass is a single gather
+    packed = jnp.where(flag_img, map_img, -map_img)
+    g = packed[pix]
+    win = map_mask & (rng <= jnp.abs(g))
+    return win & (g > 0)
 
 
 @partial(jax.jit, static_argnames=("fov", "shape", "reverse"))

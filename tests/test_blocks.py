@@ -1,0 +1,80 @@
+import jax.numpy as jnp
+import numpy as np
+
+from ltm.kernels import blocks, projection
+
+
+def make_scene(rng, n=4096):
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * np.array([40, 40, 3], np.float32)
+    mask = rng.uniform(size=n) > 0.1
+    return jnp.asarray(pts), jnp.asarray(mask)
+
+
+def test_block_map_preserves_points(rng):
+    xyz, mask = make_scene(rng)
+    bm, overflow = blocks.build_block_map(xyz, mask, 20.0, n_blocks=512, block_capacity=128)
+    assert int(overflow) == 0
+    got = np.asarray(bm.flat_xyz())[np.asarray(bm.flat_mask())]
+    ref = np.asarray(xyz)[np.asarray(mask)]
+    got_s = got[np.lexsort(got.T)]
+    ref_s = ref[np.lexsort(ref.T)]
+    np.testing.assert_allclose(got_s, ref_s, atol=0)
+    # blocks are spatially tight: member distance <= radius
+    d = np.linalg.norm(np.asarray(bm.xyz) - np.asarray(bm.centers)[:, None], axis=-1)
+    d = np.where(np.asarray(bm.mask), d, 0)
+    assert np.all(d <= np.asarray(bm.radius)[:, None] + 1e-4)
+
+
+def test_block_sweep_matches_flat(rng):
+    fov, shape = (50.0, 360.0), (25, 180)
+    xyz, mask = make_scene(rng)
+    K = 3
+    scans = jnp.asarray(rng.normal(size=(K, 512, 3)).astype(np.float32) * 30)
+    smask = jnp.ones((K, 512), bool)
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[:, 0, 3] = [-20, 0, 20]
+    pose_inv = jnp.asarray(np.linalg.inv(poses))
+    poses_j = jnp.asarray(poses)
+
+    ref_dyn = projection.sweep_discrepancy(xyz, mask, scans, smask, pose_inv, fov, shape, 0.1, False)
+    ref_pts = np.asarray(xyz)[np.asarray(ref_dyn)]
+
+    bm, _ = blocks.build_block_map(xyz, mask, 20.0, n_blocks=512, block_capacity=128)
+    dyn = blocks.block_sweep_discrepancy(
+        bm, scans, smask, pose_inv, poses_j, fov, shape,
+        k_blocks=512, max_range=1e6, diff_threshold=0.1, reverse=False,
+    )
+    got_pts = np.asarray(bm.flat_xyz())[np.asarray(dyn)]
+    np.testing.assert_allclose(
+        got_pts[np.lexsort(got_pts.T)], ref_pts[np.lexsort(ref_pts.T)], atol=0
+    )
+
+    # culled version: ball radius 200 covers the whole scene -> identical
+    dyn_c = blocks.block_sweep_discrepancy(
+        bm, scans, smask, pose_inv, poses_j, fov, shape,
+        k_blocks=256, max_range=200.0, diff_threshold=0.1, reverse=False,
+    )
+    got_c = np.asarray(bm.flat_xyz())[np.asarray(dyn_c)]
+    np.testing.assert_allclose(
+        got_c[np.lexsort(got_c.T)], ref_pts[np.lexsort(ref_pts.T)], atol=0
+    )
+
+
+def test_block_sweep_visibility_matches_flat(rng):
+    fov, shape = (50.0, 360.0), (25, 180)
+    xyz, mask = make_scene(rng)
+    poses = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    poses[:, 0, 3] = [-10, 15]
+    pose_inv = jnp.asarray(np.linalg.inv(poses))
+    ref = projection.sweep_visibility(xyz, mask, pose_inv, fov, shape)
+    ref_pts = np.asarray(xyz)[np.asarray(ref)]
+
+    bm, _ = blocks.build_block_map(xyz, mask, 20.0, n_blocks=512, block_capacity=128)
+    vis = blocks.block_sweep_visibility(
+        bm, jnp.ones(bm.num_blocks * bm.block_capacity, bool),
+        pose_inv, jnp.asarray(poses), fov, shape, k_blocks=512, max_range=1e6,
+    )
+    got_pts = np.asarray(bm.flat_xyz())[np.asarray(vis)]
+    np.testing.assert_allclose(
+        got_pts[np.lexsort(got_pts.T)], ref_pts[np.lexsort(ref_pts.T)], atol=0
+    )
