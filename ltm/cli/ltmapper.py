@@ -1,0 +1,65 @@
+"""Full LT-mapper chain: LT-SLAM → LT-removert → LT-map in one command.
+
+The reference requires running two ROS launch files manually and hand-editing
+the removert YAML to point at LT-SLAM's output pose files (SURVEY §1 L6);
+this driver wires the file protocol end-to-end:
+
+    python -m ltm.cli.ltmapper --sessions-dir DATA --central 01 --query 02 --out OUT
+
+Produces OUT/ltslam/ (trajectories) and OUT/removert/ (maps, deltas, scans).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from ltm.core.config import LTSlamConfig, RemovertConfig, load_yaml
+from ltm.io.sessions import load_session_dir
+from ltm.removert import Removerter, RemovertInput
+from ltm.slam import LTSlam
+from ltm.utils import get_logger
+
+log = get_logger("ltm.cli.ltmapper")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="TPU-native LT-mapper (full chain)")
+    ap.add_argument("--sessions-dir", required=True)
+    ap.add_argument("--central", default="01")
+    ap.add_argument("--query", default="02")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ltslam-config", help="optional YAML for LTSlamConfig")
+    ap.add_argument("--removert-config", help="optional YAML for RemovertConfig")
+    args = ap.parse_args(argv)
+
+    slam_cfg = load_yaml(args.ltslam_config, "ltslam") if args.ltslam_config else LTSlamConfig()
+    rm_cfg = load_yaml(args.removert_config, "removert") if args.removert_config else RemovertConfig()
+
+    slam_out = os.path.join(args.out, "ltslam")
+    rm_out = os.path.join(args.out, "removert")
+
+    central_dir = os.path.join(args.sessions_dir, args.central)
+    query_dir = os.path.join(args.sessions_dir, args.query)
+    central = load_session_dir(central_dir, max_nodes=slam_cfg.max_nodes_per_session)
+    query = load_session_dir(query_dir, max_nodes=slam_cfg.max_nodes_per_session)
+
+    log.info("=== stage 1/2: LT-SLAM ===")
+    LTSlam(slam_cfg).run(central, query, save_directory=slam_out)
+
+    log.info("=== stage 2/2: LT-removert + LT-map ===")
+    c_in = RemovertInput.from_dirs(
+        os.path.join(central_dir, "Scans"),
+        os.path.join(slam_out, f"{central.name}_central_aft_intersession_loops.txt"),
+    )
+    q_in = RemovertInput.from_dirs(
+        os.path.join(query_dir, "Scans"),
+        os.path.join(slam_out, f"{query.name}_central_aft_intersession_loops.txt"),
+    )
+    Removerter(rm_cfg).run(c_in, q_in, save_directory=rm_out)
+    log.info("done: %s", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -114,6 +114,12 @@ class RemovertConfig:
     remove_resolution_list: List[float] = field(default_factory=lambda: [2.5])
     revert_resolution_list: List[float] = field(default_factory=lambda: [2.2])
     repeat_removert_iter: int = 1
+    use_self_removert: bool = False   # full remove/revert loop (selfRemovert)
+    save_range_image_pngs: bool = False  # PNG analog of the rviz image topics
+    save_high_dyn_maps: bool = True      # *_high_dyn.pcd knn scan extraction
+    # range-image color axis (rimg_color_min/max in params_ltmapper.yaml)
+    rimg_color_min: float = 0.0
+    rimg_color_max: float = 20.0
     reprojection_alpha: float = 3.0          # Session.h:13 kReprojectionAlpha
     nd_pd_filter_resolution: float = 2.5     # Removerter.cpp:1397,1407
     nd_pd_filter_repeats: int = 3
@@ -150,6 +156,17 @@ class RemovertConfig:
     scan_capacity: int = 16384
     map_capacity: int = 1 << 20
     delta_map_capacity: int = 1 << 18
+
+    # block-structured map (ltm.kernels.blocks): per-keyframe locality for
+    # the visibility sweeps — the big-map fast path.  block_max_range must be
+    # >= max scan range + valid_diff_upper_bound for exactness of the
+    # reversed-diff (ND) checks.
+    use_block_map: bool = False
+    block_cell_size: float = 50.0
+    n_blocks: int = 256
+    block_capacity: int = 4096
+    k_blocks: int = 64
+    block_max_range: float = 400.0
 
 
 # ---------------------------------------------------------------------------

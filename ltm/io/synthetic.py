@@ -268,6 +268,26 @@ def make_session(world: ParkingLotWorld, name: str, car_ids: Sequence[int],
     )
 
 
+def make_n_sessions(n_sessions: int = 3, seed: int = 0, num_keyframes: int = 30,
+                    num_cars: int = 12, **kw) -> Dict:
+    """N sessions over one world: session i keeps a sliding window of cars
+    (gradual change) and has its own anchor offset (session 0 = identity)."""
+    world = make_world(seed=seed, num_cars=num_cars)
+    rng = np.random.default_rng(seed + 100)
+    sessions = []
+    anchors = [np.eye(4)]
+    for i in range(1, n_sessions):
+        anchors.append(_yaw_pose(rng.uniform(-8, 8), rng.uniform(-8, 8), 0.0, rng.uniform(-0.5, 0.5)))
+    per = max(num_cars - n_sessions + 1, 1)
+    for i in range(n_sessions):
+        car_ids = list(range(i, min(i + per, num_cars)))
+        sessions.append(
+            make_session(world, f"{i + 1:02d}", car_ids, num_keyframes=num_keyframes,
+                         seed=seed + 1 + i, anchor=anchors[i], traj_phase=0.08 * i, **kw)
+        )
+    return {"world": world, "sessions": sessions, "anchors": anchors}
+
+
 def make_two_sessions(seed: int = 0, num_keyframes: int = 40, num_cars: int = 12,
                       num_changed: int = 4, **kw) -> Dict:
     """Central + query sessions with PD/ND ground truth.

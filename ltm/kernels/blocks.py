@@ -155,6 +155,47 @@ def block_sweep_discrepancy(
     return out.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("fov", "shape", "proj_shape", "k_blocks", "reverse"))
+def block_sweep_discrepancy_projected(
+    target_bm: BlockMap,
+    target_extra: jax.Array,     # flat mask restricting the target (delta) set
+    source_bm: BlockMap,
+    source_extra: jax.Array,     # flat mask restricting the source (static) set
+    pose_inv: jax.Array,         # (K, 4, 4)
+    poses: jax.Array,            # (K, 4, 4)
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+    proj_shape: Tuple[int, int],
+    k_blocks: int,
+    max_range: float = 200.0,
+    diff_threshold: float = 0.1,
+    reverse: bool = False,
+) -> jax.Array:
+    """Block-local ``sweep_discrepancy_projected`` (ND/PD strong-weak core)."""
+    t_extra = target_extra.reshape(target_bm.num_blocks, target_bm.block_capacity)
+    s_extra = source_extra.reshape(source_bm.num_blocks, source_bm.block_capacity)
+
+    def body(carry, inp):
+        Tinv, T = inp
+        origin = T[:3, 3]
+        tsel, tval = _select_blocks(target_bm, origin, max_range, k_blocks)
+        ssel, sval = _select_blocks(source_bm, origin, max_range, k_blocks)
+        t_xyz = target_bm.xyz[tsel].reshape(-1, 3)
+        t_mask = (target_bm.mask[tsel] & t_extra[tsel] & tval[:, None]).reshape(-1)
+        s_xyz = source_bm.xyz[ssel].reshape(-1, 3)
+        s_mask = (source_bm.mask[ssel] & s_extra[ssel] & sval[:, None]).reshape(-1)
+        t_local = t_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        s_local = s_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        swin, *_ = winner_mask(s_local, s_mask, fov, proj_shape)
+        dyn = discrepancy_mask(t_local, t_mask, s_local, swin, fov, shape, diff_threshold, reverse)
+        carry = carry.at[tsel].max(dyn.reshape(k_blocks, target_bm.block_capacity))
+        return carry, None
+
+    init = jnp.zeros((target_bm.num_blocks, target_bm.block_capacity), bool)
+    out, _ = jax.lax.scan(body, init, (pose_inv, poses))
+    return out.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("fov", "shape", "k_blocks"))
 def block_sweep_visibility(
     bm: BlockMap,

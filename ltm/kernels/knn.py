@@ -54,26 +54,52 @@ def knn_sqdists(
 
     q2 = jnp.sum(query_xyz * query_xyz, axis=-1)  # (N,)
 
-    def body(best, inp):
-        txyz, tmask = inp
+    def body(carry, inp):
+        best_d, best_i = carry
+        tile_no, txyz, tmask = inp
         t2 = jnp.sum(txyz * txyz, axis=-1)
-        cross = jnp.dot(query_xyz, txyz.T, preferred_element_type=jnp.float32)
+        cross = jnp.dot(query_xyz, txyz.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         d2 = q2[:, None] + t2[None, :] - 2.0 * cross
         d2 = jnp.where(tmask[None, :], jnp.maximum(d2, 0.0), _BIG)
         # merge running best (N, k) with tile candidates (N, tile)
-        merged = jnp.concatenate([best, d2], axis=1)
-        neg_top, _ = jax.lax.top_k(-merged, k)
-        return -neg_top, None
+        merged = jnp.concatenate([best_d, d2], axis=1)
+        tile_ids = jnp.broadcast_to(
+            tile_no * tile + jnp.arange(tile, dtype=jnp.int32)[None, :], d2.shape
+        )
+        merged_i = jnp.concatenate([best_i, tile_ids], axis=1)
+        neg_top, pos = jax.lax.top_k(-merged, k)
+        new_i = jnp.take_along_axis(merged_i, pos, axis=1)
+        return (-neg_top, new_i), None
 
-    init = jnp.full((n, k), _BIG, jnp.float32)
-    best, _ = jax.lax.scan(body, init, (t_xyz, t_mask))
-    best = jnp.sort(best, axis=-1)
-    return jnp.where(query_mask[:, None], best, _BIG)
+    init = (jnp.full((n, k), _BIG, jnp.float32), jnp.zeros((n, k), jnp.int32))
+    (best, best_i), _ = jax.lax.scan(
+        body, init, (jnp.arange(m_pad // tile, dtype=jnp.int32), t_xyz, t_mask)
+    )
+    # exact refinement of the selected candidates: (q - t)² is exact in f32,
+    # the matmul form loses ~|x|²·eps (material vs 0.01 m² thresholds)
+    sel = target_xyz[jnp.clip(best_i, 0, m - 1)]            # (N, k, 3)
+    diff = query_xyz[:, None, :] - sel
+    d_exact = jnp.sum(diff * diff, axis=-1)
+    sel_valid = target_mask[jnp.clip(best_i, 0, m - 1)] & (best_i < m) & (best < _BIG)
+    d_exact = jnp.where(sel_valid, d_exact, _BIG)
+    d_exact = jnp.sort(d_exact, axis=-1)
+    return jnp.where(query_mask[:, None], d_exact, _BIG)
 
 
-def knn_avg_sqdist(query_xyz, query_mask, target_xyz, target_mask, k: int = 2, tile: int = 8192):
+def knn_avg_sqdist(query_xyz, query_mask, target_xyz, target_mask, k: int = 2, tile: int = 8192,
+                   use_pallas=None):
     """Average of k nearest squared distances (the Removert kNN statistic,
-    ``ltremovert/src/Session.cpp:592-594``)."""
+    ``ltremovert/src/Session.cpp:592-594``).
+
+    On TPU with k=2 this dispatches to the fused Pallas kernel
+    (``ltm.kernels.pallas_knn``, ~5x the XLA scan)."""
+    if use_pallas is None:
+        use_pallas = k == 2 and jax.default_backend() in ("tpu", "axon")
+    if use_pallas and k == 2:
+        from ltm.kernels.pallas_knn import knn2_sqdists_pallas
+
+        d = knn2_sqdists_pallas(query_xyz, query_mask, target_xyz, target_mask)
+        return jnp.mean(d, axis=-1)
     d = knn_sqdists(query_xyz, query_mask, target_xyz, target_mask, k=k, tile=tile)
     return jnp.mean(d, axis=-1)
 
@@ -122,7 +148,7 @@ def nn_sqdist_argmin(
         best_d, best_i = carry
         tile_idx, txyz, tmask = inp
         t2 = jnp.sum(txyz * txyz, axis=-1)
-        cross = jnp.dot(query_xyz, txyz.T, preferred_element_type=jnp.float32)
+        cross = jnp.dot(query_xyz, txyz.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         d2 = q2[:, None] + t2[None, :] - 2.0 * cross
         d2 = jnp.where(tmask[None, :], jnp.maximum(d2, 0.0), _BIG)
         tile_min = jnp.min(d2, axis=1)

@@ -1,0 +1,85 @@
+"""Lifelong meta-map maintenance: incremental change composition over N
+sessions (BASELINE.json config 4 — "lifelong meta-map").
+
+The reference runs LT-removert pairwise and leaves chaining to the user
+(modules talk through files, ``README.md:24``).  This driver automates the
+lifelong loop: the live map starts as session 1; each new session is
+change-detected against the live map (Removerter), and the composed
+updated scans become the live map for the next round — so newly appeared
+structure (PD) accumulates and disappeared structure (ND) is retired
+round after round.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ltm.core.config import RemovertConfig
+from ltm.removert.pipeline import Removerter, RemovertResult
+from ltm.removert.session import RemovertInput
+from ltm.utils import get_logger, stage_timer
+
+__all__ = ["LifelongResult", "lifelong_update"]
+
+log = get_logger("ltm.ltmap.lifelong")
+
+
+@dataclass
+class LifelongResult:
+    live_map: np.ndarray                      # final composed map (M, 3)
+    rounds: List[RemovertResult] = field(default_factory=list)
+    round_stats: List[Dict] = field(default_factory=list)
+
+
+def _updated_scans_as_input(result: RemovertResult, base: RemovertInput,
+                            cfg: RemovertConfig, fov) -> RemovertInput:
+    """Per-keyframe updated scans (winner reprojection of the updated map +
+    weak-ND + PD, ``updateScansScanwise``) as the next round's live session."""
+    import jax.numpy as jnp
+
+    from ltm.kernels.projection import rimg_shape, winner_mask
+
+    proj_shape = rimg_shape(fov, cfg.reprojection_alpha)
+    c = result.central
+    scans = []
+    kf = c.keyframe_indices
+    comb = result.combined_xyz
+    upd = result.masks["updated"]
+    for k in range(c.num_keyframes):
+        Tinv = c.poses_inv[k]
+        local = comb @ Tinv[:3, :3].T + Tinv[:3, 3]
+        win, *_ = winner_mask(local, upd, fov, proj_shape)
+        pts = np.asarray(local)[np.asarray(win)]
+        scans.append(np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], axis=1).astype(np.float32))
+    poses = np.asarray(c.poses[: c.num_keyframes], np.float64)
+    return RemovertInput(scans=scans, poses=poses,
+                         names=[f"{i:06d}.pcd" for i in range(len(scans))])
+
+
+def lifelong_update(sessions: List[RemovertInput], cfg: Optional[RemovertConfig] = None,
+                    save_directory: Optional[str] = None) -> LifelongResult:
+    """Fold sessions[1:] into the live map seeded by sessions[0]."""
+    cfg = cfg or RemovertConfig()
+    fov = (cfg.vfov, cfg.hfov)
+    live = sessions[0]
+    out = LifelongResult(live_map=np.zeros((0, 3)))
+    for i, query in enumerate(sessions[1:], start=2):
+        with stage_timer(f"lifelong.round_{i}", log):
+            rd = os.path.join(save_directory, f"round_{i:02d}") if save_directory else None
+            res = Removerter(cfg).run(live, query, save_directory=rd)
+        out.rounds.append(res)
+        stats = {
+            "round": i,
+            "nd": int(np.asarray(res.masks["nd"]).sum()),
+            "pd": int(np.asarray(res.masks["pd"]).sum()),
+            "updated": int(np.asarray(res.masks["updated"]).sum()),
+        }
+        out.round_stats.append(stats)
+        log.info("lifelong round %d: %s", i, stats)
+        live = _updated_scans_as_input(res, live, cfg, fov)
+    out.live_map = res.points("updated") if out.rounds else np.zeros((0, 3))
+    return out

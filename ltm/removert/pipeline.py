@@ -28,6 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ltm.core.config import RemovertConfig
+from ltm.kernels.blocks import (
+    block_sweep_discrepancy,
+    block_sweep_discrepancy_projected,
+    block_sweep_visibility,
+)
 from ltm.kernels.knn import chunked_knn_avg_sqdist
 from ltm.kernels.projection import (
     rimg_shape,
@@ -106,9 +111,17 @@ class Removerter:
         with stage_timer("removert.project_static", log):
             proj_shape = rimg_shape(fov, cfg.reprojection_alpha)
             for sess in (central, query):
-                sess.masks["proj_static"] = sweep_visibility(
-                    sess.map_xyz, sess.masks["static"], sess.poses_inv, fov, proj_shape
-                )
+                if sess.bm is not None:
+                    sess.masks["proj_static"] = block_sweep_visibility(
+                        sess.bm, sess.masks["static"],
+                        sess.poses_inv, sess.poses, fov, proj_shape,
+                        k_blocks=min(cfg.k_blocks, sess.bm.num_blocks),
+                        max_range=cfg.block_max_range,
+                    )
+                else:
+                    sess.masks["proj_static"] = sweep_visibility(
+                        sess.map_xyz, sess.masks["static"], sess.poses_inv, fov, proj_shape
+                    )
 
         # ---------------- Step 2: low-dynamic change detection ------------
         with stage_timer("removert.knn_diff", log):
@@ -161,20 +174,53 @@ class Removerter:
         return result
 
     # ------------------------------------------------------------------
+    def _sweep(self, sess: RemovertSession, mask, fov, res):
+        shape = rimg_shape(fov, res)
+        if sess.bm is not None:
+            bm = sess.bm._replace(mask=mask.reshape(sess.bm.mask.shape))
+            return block_sweep_discrepancy(
+                bm, sess.scans_xyz, sess.scans_mask, sess.poses_inv, sess.poses,
+                fov, shape, k_blocks=min(self.cfg.k_blocks, bm.num_blocks),
+                max_range=self.cfg.block_max_range,
+                diff_threshold=self.cfg.diff_threshold, reverse=False,
+            )
+        return sweep_discrepancy(
+            sess.map_xyz, mask, sess.scans_xyz, sess.scans_mask, sess.poses_inv,
+            fov, shape, self.cfg.diff_threshold, False,
+        )
+
     def _remove_high_dynamic(self, sess: RemovertSession, fov):
-        """``removeHighDynamicPoints`` → ``removeOnce(sess, sess, res)``
-        (``Removerter.cpp:1580-1604,882-905``)."""
+        """``removeHighDynamicPoints`` (``Removerter.cpp:1580-1604``).
+
+        Default: one ``removeOnce`` per configured resolution (the reference
+        run() does ``removeOnce(sess, sess, 2.5)``, ``:1584``).  With
+        ``use_self_removert``, runs the full multi-resolution remove → revert
+        (at 0.95×res, restoring falsely removed points) → remove loop
+        (``selfRemovert``/``revertOnce``, ``Removerter.cpp:1378-1393,908-931``)
+        — as mask algebra: remove flips static→dynamic, revert re-partitions
+        the dynamic set and returns unflagged points to static."""
         cfg = self.cfg
         cur = sess.map_mask
         dynamic = jnp.zeros_like(cur)
-        for res in cfg.remove_resolution_list:
-            shape = rimg_shape(fov, res)
-            dyn = sweep_discrepancy(
-                sess.map_xyz, cur, sess.scans_xyz, sess.scans_mask, sess.poses_inv,
-                fov, shape, cfg.diff_threshold, False,
-            )
-            dynamic = dynamic | dyn
-            cur = cur & ~dyn
+
+        def remove_once(cur, dynamic, res):
+            dyn = self._sweep(sess, cur, fov, res)
+            return cur & ~dyn, dynamic | dyn
+
+        def revert_once(cur, dynamic, res):
+            flagged = self._sweep(sess, dynamic, fov, res)
+            return cur | (dynamic & ~flagged), dynamic & flagged
+
+        if cfg.use_self_removert:
+            for res in cfg.remove_resolution_list:
+                for _ in range(max(cfg.repeat_removert_iter, 1)):
+                    cur, dynamic = remove_once(cur, dynamic, res)
+                    cur, dynamic = revert_once(cur, dynamic, 0.95 * res)
+                    cur, dynamic = remove_once(cur, dynamic, res)
+        else:
+            for res in cfg.remove_resolution_list:
+                cur, dynamic = remove_once(cur, dynamic, res)
+
         sess.masks["static"] = cur
         sess.masks["dynamic"] = dynamic
         log.info("%s HD removal: %d static / %d dynamic",
@@ -210,11 +256,21 @@ class Removerter:
         proj_shape = rimg_shape(fov, cfg.reprojection_alpha)
         cur = cand
         weak = jnp.zeros_like(cand)
+        use_blocks = sess.bm is not None and source.bm is not None
         for _ in range(cfg.nd_pd_filter_repeats):
-            flagged = sweep_discrepancy_projected(
-                sess.map_xyz, cur, source.map_xyz, source.masks["static"],
-                source.poses_inv, fov, shape, proj_shape, cfg.diff_threshold, reverse,
-            )
+            if use_blocks:
+                flagged = block_sweep_discrepancy_projected(
+                    sess.bm, cur, source.bm, source.masks["static"],
+                    source.poses_inv, source.poses, fov, shape, proj_shape,
+                    k_blocks=min(cfg.k_blocks, sess.bm.num_blocks),
+                    max_range=cfg.block_max_range,
+                    diff_threshold=cfg.diff_threshold, reverse=reverse,
+                )
+            else:
+                flagged = sweep_discrepancy_projected(
+                    sess.map_xyz, cur, source.map_xyz, source.masks["static"],
+                    source.poses_inv, fov, shape, proj_shape, cfg.diff_threshold, reverse,
+                )
             weak = weak | flagged
             cur = cur & ~flagged
         return cur, weak
@@ -281,6 +337,45 @@ class Removerter:
             save("weak_pd_map.pcd", result.points("pd_weak"))
             save("updated_map.pcd", result.points("updated"))
             save("updated_map_strong.pcd", result.points("updated_strong"))
+
+        # high-dynamic scan-side extraction (``extractHighDynPointsViaKnnDiff``
+        # + ``*_high_dyn.pcd`` saves, ``Removerter.cpp:1591-1602``): per-scan
+        # points whose kNN statistic against the session's own static map
+        # exceeds the threshold, merged over keyframes
+        hd_sessions = ((c, "central_sess_high_dyn.pcd"), (q, "query_sess_high_dyn.pcd")) \
+            if getattr(cfg, "save_high_dyn_maps", True) else ()
+        for sess, fname in hd_sessions:
+            R = sess.poses[:, :3, :3]
+            t = sess.poses[:, :3, 3]
+            moved = jnp.einsum("kij,ksj->ksi", R, sess.scans_xyz) + t[:, None, :]
+            flat = moved.reshape(-1, 3)
+            fmask = sess.scans_mask.reshape(-1)
+            d = chunked_knn_avg_sqdist(flat, fmask, sess.map_xyz, sess.masks["static"],
+                                       k=cfg.num_knn_points)
+            dyn = fmask & (np.asarray(d) >= cfg.knn_avg_sqdist_threshold)
+            pts = np.asarray(flat)[np.asarray(dyn)]
+            if len(pts):
+                keep = voxel_unique_mask(jnp.asarray(pts), jnp.ones(len(pts), bool), cfg.downsample_voxel_size)
+                pts = pts[np.asarray(keep)]
+            save(fname, pts)
+
+        # range-image observability (PNG analog of the reference's rviz
+        # topics; see ltm.utils.viz)
+        if getattr(cfg, "save_range_image_pngs", False):
+            from ltm.kernels.projection import range_image, NO_POINT
+            from ltm.utils.viz import save_range_image_png
+
+            res = cfg.remove_resolution_list[0]
+            shape = rimg_shape(fov, res)
+            for k in (0, c.num_keyframes // 2):
+                Tinv = c.poses_inv[k]
+                scan_img = np.asarray(range_image(c.scans_xyz[k], c.scans_mask[k], fov, shape)).reshape(shape)
+                local = c.map_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+                map_img = np.asarray(range_image(local, c.map_mask, fov, shape)).reshape(shape)
+                diff = np.where((scan_img < NO_POINT) & (map_img < NO_POINT), scan_img - map_img, NO_POINT)
+                save_range_image_png(os.path.join(out_dir, f"rimg_scan_{k:04d}.png"), scan_img)
+                save_range_image_png(os.path.join(out_dir, f"rimg_map_{k:04d}.png"), map_img)
+                save_range_image_png(os.path.join(out_dir, f"rimg_diff_{k:04d}.png"), diff, vmin=-2.0, vmax=2.0)
 
         if not cfg.save_clean_scans_pcd:
             return

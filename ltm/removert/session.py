@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ltm.core.config import RemovertConfig
+from ltm.kernels.blocks import BlockMap, build_block_map
 from ltm.kernels.voxel import voxel_downsample_centroid
 
 __all__ = ["RemovertInput", "RemovertSession", "parse_keyframe_indices", "parse_keyframes_in_roi"]
@@ -76,6 +77,23 @@ def _preclean(scan: np.ndarray, radius: float, z_band: float) -> np.ndarray:
     return scan[~drop]
 
 
+def _voxel_downsample_host(xyz: np.ndarray, voxel: float) -> np.ndarray:
+    """Per-scan load-time voxel downsample (``loadKeyframes`` VoxelGrid,
+    ``Session.cpp:283-289``).  Native C++ grid when available, NumPy fallback
+    (first-point-per-voxel; centroid in the native path)."""
+    if voxel <= 0:
+        return xyz
+    from ltm.io import native
+
+    if native.available():
+        out = native.voxel_downsample_native(np.ascontiguousarray(xyz[:, :3]), voxel)
+        if out is not None:
+            return out
+    keys = np.floor(xyz[:, :3] / voxel).astype(np.int64)
+    _, first = np.unique(keys, axis=0, return_index=True)
+    return xyz[np.sort(first), :3]
+
+
 @partial(jax.jit, static_argnames=("capacity",))
 def _merge_global(scans_xyz, scans_mask, poses, voxel, capacity):
     """Merge keyframes into the global frame + centroid downsample
@@ -106,6 +124,7 @@ class RemovertSession:
     map_xyz: jax.Array               # (N, 3) global frame
     map_mask: jax.Array              # (N,) valid map points
     masks: Dict[str, jax.Array] = field(default_factory=dict)  # named partitions
+    bm: Optional[BlockMap] = None    # block layout of the same points (fast path)
 
     @classmethod
     def build(cls, inp: RemovertInput, cfg: RemovertConfig, sess_type: str,
@@ -124,7 +143,7 @@ class RemovertSession:
         names = []
         for out_i, scan_i in enumerate(kf):
             scan = _preclean(np.asarray(inp.scans[scan_i], np.float32), cfg.preclean_radius, cfg.preclean_z_band)
-            pts = scan[:, :3]
+            pts = _voxel_downsample_host(scan[:, :3], cfg.downsample_voxel_size).astype(np.float32)
             if len(pts) > s_cap:
                 sel = np.linspace(0, len(pts) - 1, s_cap).astype(np.int64)
                 pts = pts[sel]
@@ -146,6 +165,19 @@ class RemovertSession:
             raise ValueError(
                 f"{sess_type}: {int(nvox)} voxels exceed map_capacity {cfg.map_capacity}"
             )
+        bm = None
+        if cfg.use_block_map:
+            bm, overflow = build_block_map(
+                map_xyz, map_mask, cfg.block_cell_size, cfg.n_blocks, cfg.block_capacity
+            )
+            if int(overflow) > 0:
+                raise ValueError(
+                    f"{sess_type}: block map overflow {int(overflow)} pts; raise "
+                    f"n_blocks ({cfg.n_blocks}) or block_capacity ({cfg.block_capacity})"
+                )
+            # the blocked flat layout becomes the canonical map layout so all
+            # downstream masks index it directly
+            map_xyz, map_mask = bm.flat_xyz(), bm.flat_mask()
         return cls(
             sess_type=sess_type,
             num_keyframes=K,
@@ -158,4 +190,5 @@ class RemovertSession:
             scans_mask=scans_mask & jnp.asarray(valid)[:, None],
             map_xyz=map_xyz,
             map_mask=map_mask,
+            bm=bm,
         )

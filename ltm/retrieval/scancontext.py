@@ -85,7 +85,7 @@ def sc_distance_matrix(
 
         def vkey_body(_, s):
             vts = jnp.roll(vt, s, axis=-1)
-            cross = jnp.dot(vq, vts.T, preferred_element_type=jnp.float32)
+            cross = jnp.dot(vq, vts.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
             return None, vq2[:, None] + vt2[None, :] - 2.0 * cross
 
         _, vdists = jax.lax.scan(vkey_body, None, jnp.arange(S))   # (S, Q, T)
@@ -96,8 +96,8 @@ def sc_distance_matrix(
         best_d, best_s = carry
         tns = jnp.roll(tn, s, axis=-1).reshape(tn.shape[0], -1)   # (T, R*S)
         tnzs = jnp.roll(tnz, s, axis=-1).astype(qn.dtype)          # (T, S)
-        score = jnp.dot(qn_flat, tns.T, preferred_element_type=jnp.float32)  # (Q, T)
-        neff = jnp.dot(qnzf, tnzs.T, preferred_element_type=jnp.float32)     # (Q, T)
+        score = jnp.dot(qn_flat, tns.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)  # (Q, T)
+        neff = jnp.dot(qnzf, tnzs.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)     # (Q, T)
         d = jnp.where(neff > 0, 1.0 - score / jnp.maximum(neff, 1.0), _BIG)
         if not full_shift_search:
             # circular distance to the vkey-aligned shift
@@ -141,7 +141,7 @@ def detect_loops_between_sessions(
     rt = ring_keys(target_descs)           # (T, R)
     rq2 = jnp.sum(rq * rq, axis=-1)
     rt2 = jnp.sum(rt * rt, axis=-1)
-    rd = rq2[:, None] + rt2[None, :] - 2.0 * jnp.dot(rq, rt.T, preferred_element_type=jnp.float32)
+    rd = rq2[:, None] + rt2[None, :] - 2.0 * jnp.dot(rq, rt.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
     rd = jnp.where(target_mask[None, :], rd, _BIG)
 
     # candidate mask: top-k ring-key neighbours per query
@@ -157,6 +157,52 @@ def detect_loops_between_sessions(
     best_s = jnp.take_along_axis(shift, best_t[:, None], axis=1)[:, 0]
 
     found = (best_d < dist_threshold) & query_mask
+    loop_idx = jnp.where(found, best_t, -1)
+    yaw = best_s.astype(jnp.float32) * (2.0 * jnp.pi / S)
+    return loop_idx, best_d, yaw
+
+
+@partial(jax.jit, static_argnames=("num_exclude_recent", "num_candidates", "full_shift_search", "search_ratio"))
+def detect_loops_intra_session(
+    descs: jax.Array,          # (K, R, S) in temporal order
+    valid: jax.Array,          # (K,)
+    dist_threshold: float = 0.3,
+    num_exclude_recent: int = 30,
+    num_candidates: int = 3,
+    full_shift_search: bool = False,
+    search_ratio: float = 0.1,
+):
+    """Batched within-session loop detection (``SCManager::detectLoopClosureID``,
+    ``Scancontext.cpp:327-418``): every node queries the database of nodes at
+    least ``num_exclude_recent`` older than itself; top-k ring-key candidates,
+    column-cosine distance, threshold.
+
+    Returns ``(loop_idx (K,) int32 [-1 = none], dist (K,), yaw_rad (K,))``.
+    """
+    K = descs.shape[0]
+    S = descs.shape[-1]
+    dist, shift = sc_distance_matrix(descs, descs, full_shift_search=full_shift_search,
+                                     search_ratio=search_ratio)
+
+    rk = ring_keys(descs)
+    r2 = jnp.sum(rk * rk, axis=-1)
+    rd = r2[:, None] + r2[None, :] - 2.0 * jnp.dot(rk, rk.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+
+    q_idx = jnp.arange(K)
+    allowed = (q_idx[None, :] <= q_idx[:, None] - num_exclude_recent) & valid[None, :]
+    rd = jnp.where(allowed, rd, _BIG)
+
+    k = min(num_candidates, K)
+    _, cand_idx = jax.lax.top_k(-rd, k)
+    cand_mask = jnp.zeros_like(rd, dtype=bool).at[q_idx[:, None], cand_idx].set(True)
+    cand_mask = cand_mask & allowed
+
+    masked = jnp.where(cand_mask, dist, _BIG)
+    best_t = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    best_d = jnp.take_along_axis(masked, best_t[:, None], axis=1)[:, 0]
+    best_s = jnp.take_along_axis(shift, best_t[:, None], axis=1)[:, 0]
+
+    found = (best_d < dist_threshold) & valid
     loop_idx = jnp.where(found, best_t, -1)
     yaw = best_s.astype(jnp.float32) * (2.0 * jnp.pi / S)
     return loop_idx, best_d, yaw

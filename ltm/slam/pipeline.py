@@ -73,10 +73,13 @@ class LTSlam:
         self.cfg = cfg or LTSlamConfig()
 
     # ------------------------------------------------------------------
-    # variable layout: [anchor_c, anchor_q, central nodes..., query nodes...]
+    # variable layout: [anchors 0..n_sessions-1, session-0 nodes, session-1
+    # nodes, ...] — generalizes the reference's hard-coded two-session pair
+    # (``ltslam/include/ltslam/LTslam.h:40-41`` TODO) to N-session joint
+    # optimization; session 0 is the base/central session.
     # ------------------------------------------------------------------
     def _node_var(self, sess_idx: int, node: int) -> int:
-        return 2 + sess_idx * self.cfg.max_nodes_per_session + node
+        return self.n_sessions + sess_idx * self.cfg.max_nodes_per_session + node
 
     def _anchor_var(self, sess_idx: int) -> int:
         return sess_idx
@@ -84,12 +87,21 @@ class LTSlam:
     # ------------------------------------------------------------------
     def run(self, central: SessionData, query: SessionData,
             save_directory: Optional[str] = None) -> LTSlamResult:
+        """Two-session central/query alignment (the reference configuration)."""
+        return self.run_multi([central, query], save_directory=save_directory)
+
+    def run_multi(self, session_data: List[SessionData],
+                  save_directory: Optional[str] = None) -> LTSlamResult:
+        """Joint N-session alignment: session 0 is the base; every other
+        session is tied to it through its own anchor via SC/RS loops, and all
+        anchors+nodes optimize in one graph."""
         cfg = self.cfg
         with stage_timer("ltslam.load", log):
             self.sessions = [
-                SlamSession.from_session_data(central, cfg, is_base=True),
-                SlamSession.from_session_data(query, cfg, is_base=False),
+                SlamSession.from_session_data(d, cfg, is_base=(i == 0))
+                for i, d in enumerate(session_data)
             ]
+        self.n_sessions = len(self.sessions)
         self._init_graph()
 
         with stage_timer("ltslam.optimize.initial", log):
@@ -97,16 +109,22 @@ class LTSlam:
         if save_directory:
             self._write_trajectories(save_directory, "bfr_intersession_loops")
 
+        n_sc = 0
+        all_rs_candidates = {}
         with stage_timer("ltslam.sc_loops", log):
-            sc_pairs, rs_candidates, sc_yaws = self._detect_sc_loops()
-            n_sc = self._add_sc_loops(sc_pairs, sc_yaws)
+            for s_idx in range(1, self.n_sessions):
+                sc_pairs, rs_candidates, sc_yaws = self._detect_sc_loops(s_idx)
+                n_sc += self._add_sc_loops(s_idx, sc_pairs, sc_yaws)
+                all_rs_candidates[s_idx] = rs_candidates
         with stage_timer("ltslam.optimize.sc", log):
             self._optimize()
 
         n_rs = 0
-        if cfg.num_rs_loops_upper_bound > 0 and rs_candidates:
+        if cfg.num_rs_loops_upper_bound > 0:
             with stage_timer("ltslam.rs_loops", log):
-                n_rs = self._add_rs_loops(rs_candidates)
+                for s_idx, rs_candidates in all_rs_candidates.items():
+                    if rs_candidates:
+                        n_rs += self._add_rs_loops(s_idx, rs_candidates)
             if n_rs:
                 with stage_timer("ltslam.optimize.rs", log):
                     self._optimize()
@@ -131,14 +149,14 @@ class LTSlam:
     # ------------------------------------------------------------------
     def _init_graph(self):
         cfg = self.cfg
-        V = 2 + 2 * cfg.max_nodes_per_session
+        V = self.n_sessions * (1 + cfg.max_nodes_per_session)
         self.poses0 = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
         self.fixed = np.zeros(V, bool)
         self.fixed[self._anchor_var(0)] = True            # base anchor == origin
         self.priors: List = []
         self.betweens: List = []
         self.anchored: List = []
-        self.anchors = [np.eye(4), np.eye(4)]
+        self.anchors = [np.eye(4) for _ in range(self.n_sessions)]
         self.diag: Dict = {}
 
         for s_idx, sess in enumerate(self.sessions):
@@ -163,7 +181,8 @@ class LTSlam:
                 )
 
         self._between_capacity = max(len(self.betweens) + 8, 1)
-        self._anchored_capacity = max(cfg.num_sc_loops_upper_bound + max(cfg.num_rs_loops_upper_bound, 16), 1)
+        per_pair = cfg.num_sc_loops_upper_bound + max(cfg.num_rs_loops_upper_bound, 16)
+        self._anchored_capacity = max(per_pair * (self.n_sessions - 1), 1)
 
     def _build_graph(self):
         return build_graph_data(
@@ -197,9 +216,9 @@ class LTSlam:
     # ------------------------------------------------------------------
     # SC loops
     # ------------------------------------------------------------------
-    def _detect_sc_loops(self):
+    def _detect_sc_loops(self, source_idx: int = 1):
         cfg = self.cfg
-        target, source = self.sessions[0], self.sessions[1]
+        target, source = self.sessions[0], self.sessions[source_idx]
         loop_idx, dist, yaw = sc_retrieval.detect_loops_between_sessions(
             source.descriptors, source.node_valid,
             target.descriptors, target.node_valid,
@@ -210,8 +229,8 @@ class LTSlam:
         pairs = [(int(loop_idx[s]), s) for s in range(source.num_nodes) if loop_idx[s] >= 0]
         misses = [s for s in range(source.num_nodes) if loop_idx[s] < 0]
         yaws = {s: float(yaw[s]) for s in range(source.num_nodes)}
-        log.info("SC retrieval: %d loops, %d misses", len(pairs), len(misses))
-        self.diag["sc_pairs_found"] = len(pairs)
+        log.info("SC retrieval %s->%s: %d loops, %d misses", source.name, target.name, len(pairs), len(misses))
+        self.diag[f"sc_pairs_found_{source.name}"] = len(pairs)
         return pairs, misses, yaws
 
     @staticmethod
@@ -292,14 +311,14 @@ class LTSlam:
                 results.append((T[b], float(fit[b])))
         return results
 
-    def _add_sc_loops(self, sc_pairs, sc_yaws) -> int:
+    def _add_sc_loops(self, source_idx: int, sc_pairs, sc_yaws) -> int:
         cfg = self.cfg
         pairs = self._equisample(sc_pairs, cfg.num_sc_loops_upper_bound)
         if not pairs:
             return 0
         with stage_timer("ltslam.sc_loops.prepare", log):
             data = [
-                self._prepare_icp_pair(1, src, 0, tgt, central_coords=False)
+                self._prepare_icp_pair(source_idx, src, 0, tgt, central_coords=False)
                 for (tgt, src) in pairs
             ]
         # ICP init from the SC yaw estimate (an improvement over the
@@ -317,22 +336,22 @@ class LTSlam:
                 self.anchored.append(
                     (
                         self._node_var(0, tgt),
-                        self._node_var(1, src),
+                        self._node_var(source_idx, src),
                         self._anchor_var(0),
-                        self._anchor_var(1),
+                        self._anchor_var(source_idx),
                         T_icp,
                         cfg.robust_variances,
                     )
                 )
                 added += 1
         log.info("SC loops: %d/%d passed ICP fitness < %.2f", added, len(pairs), cfg.loop_fitness_score_threshold)
-        self.diag["sc_loops_added"] = added
+        self.diag[f"sc_loops_added_{self.sessions[source_idx].name}"] = added
         return added
 
     # ------------------------------------------------------------------
     # RS loops (info-gain)
     # ------------------------------------------------------------------
-    def _anchored_jacobians(self, node_t_vars, node_s_vars):
+    def _anchored_jacobians(self, node_t_vars, node_s_vars, source_idx: int):
         """Autodiff H1, H2 of the anchored residual wrt the two node poses."""
         poses = self._last_poses
 
@@ -344,17 +363,17 @@ class LTSlam:
         x1 = poses[jnp.asarray(node_t_vars)]
         x2 = poses[jnp.asarray(node_s_vars)]
         a1 = jnp.broadcast_to(poses[self._anchor_var(0)], x1.shape)
-        a2 = jnp.broadcast_to(poses[self._anchor_var(1)], x2.shape)
+        a2 = jnp.broadcast_to(poses[self._anchor_var(source_idx)], x2.shape)
         meas = se3.between(se3.compose(a1, x1), se3.compose(a2, x2))
         zero = jnp.zeros((x1.shape[0], 6), jnp.float32)
         H1 = jax.vmap(jax.jacfwd(resid, argnums=0))(zero, zero, x1, x2, a1, a2, meas)
         H2 = jax.vmap(jax.jacfwd(resid, argnums=1))(zero, zero, x1, x2, a1, a2, meas)
         return H1, H2
 
-    def _add_rs_loops(self, rs_candidates: List[int]) -> int:
+    def _add_rs_loops(self, source_idx: int, rs_candidates: List[int]) -> int:
         cfg = self.cfg
-        target, source = self.sessions[0], self.sessions[1]
-        anchor_q = self.anchors[1]
+        target, source = self.sessions[0], self.sessions[source_idx]
+        anchor_q = self.anchors[source_idx]
         tgt_central = np.einsum("ij,njk->nik", self.anchors[0], target.poses_local)
         tgt_pos = tgt_central[:, :3, 3]
 
@@ -373,7 +392,7 @@ class LTSlam:
         uniq_t = sorted({int(t) for _, balls in cand_pairs for t in balls})
         uniq_s = sorted({s for s, _ in cand_pairs})
         t_vars = [self._node_var(0, t) for t in uniq_t]
-        s_vars = [self._node_var(1, s) for s in uniq_s]
+        s_vars = [self._node_var(source_idx, s) for s in uniq_s]
         all_vars = jnp.asarray(t_vars + s_vars, jnp.int32)
         with stage_timer("ltslam.rs_loops.marginals", log):
             Sig = np.asarray(marginal_covariance(self._last_graph, self._last_poses, all_vars))
@@ -383,7 +402,9 @@ class LTSlam:
         # info gain 0.5 log det(I + H1 Σ1 H1ᵀ + H2 Σ2 H2ᵀ)  (LTslam.cpp:441-447)
         flat = [(s, int(t)) for s, balls in cand_pairs for t in balls]
         H1, H2 = self._anchored_jacobians(
-            [self._node_var(0, t) for _, t in flat], [self._node_var(1, s) for s, _ in flat]
+            [self._node_var(0, t) for _, t in flat],
+            [self._node_var(source_idx, s) for s, _ in flat],
+            source_idx,
         )
         H1, H2 = np.asarray(H1), np.asarray(H2)
         gains = []
@@ -400,7 +421,7 @@ class LTSlam:
 
         with stage_timer("ltslam.rs_loops.icp", log):
             data = [
-                self._prepare_icp_pair(1, src, 0, tgt, central_coords=True)
+                self._prepare_icp_pair(source_idx, src, 0, tgt, central_coords=True)
                 for (tgt, src) in rs_pairs
             ]
             # source cloud is in the source node's body frame; its central pose
@@ -419,9 +440,9 @@ class LTSlam:
                 self.anchored.append(
                     (
                         self._node_var(0, tgt),
-                        self._node_var(1, src),
+                        self._node_var(source_idx, src),
                         self._anchor_var(0),
-                        self._anchor_var(1),
+                        self._anchor_var(source_idx),
                         T_icp,
                         cfg.robust_variances,
                     )

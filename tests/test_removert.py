@@ -47,6 +47,7 @@ def result(bundle, tmp_path_factory):
     cfg.knn_avg_sqdist_threshold = 0.04
     cfg.keyframe_gap = 1
     cfg.end_idx = 10_000
+    cfg.save_high_dyn_maps = False  # CPU CI: the kNN scan extraction is TPU-scale work
     out = str(tmp_path_factory.mktemp("removert_out"))
     res = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]), save_directory=out)
     return res, out
@@ -155,3 +156,33 @@ def test_artifacts_written(result):
 
     pts = read_pcd(os.path.join(out, "scans_updated", scans[0]))
     assert pts.shape[0] > 100
+
+
+@pytest.mark.slow
+def test_block_map_pipeline_matches_flat(bundle, result):
+    """The block-local fast path must reproduce the flat pipeline's masks."""
+    res, _ = result
+    cfg = RemovertConfig()
+    cfg.max_keyframes = NUM_KF
+    cfg.scan_capacity = 40960
+    cfg.map_capacity = 1 << 17
+    cfg.downsample_voxel_size = 0.1
+    cfg.knn_avg_sqdist_threshold = 0.04
+    cfg.keyframe_gap = 1
+    cfg.end_idx = 10_000
+    cfg.use_block_map = True
+    cfg.block_cell_size = 25.0
+    cfg.n_blocks = 256
+    cfg.block_capacity = 1024
+    cfg.k_blocks = 96
+    cfg.block_max_range = 400.0
+    res_b = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]))
+
+    # same point sets for every named mask (layouts differ -> compare as sets)
+    for name in ("static_c", "dynamic_c", "nd", "nd_strong", "pd", "updated"):
+        a = res.points(name)
+        b = res_b.points(name)
+        assert len(a) == len(b), (name, len(a), len(b))
+        a = a[np.lexsort(a.T)]
+        b = b[np.lexsort(b.T)]
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
