@@ -66,6 +66,58 @@ def sweep_discrepancy_sharded(
     return fn(map_xyz, map_mask, scans_xyz, scans_mask, pose_inv)
 
 
+def sweep_discrepancy_map_sharded(
+    mesh: Mesh,
+    map_xyz: jax.Array, map_mask: jax.Array,
+    scans_xyz: jax.Array, scans_mask: jax.Array, pose_inv: jax.Array,
+    fov: Tuple[float, float], shape: Tuple[int, int],
+    diff_threshold: float = 0.1, reverse: bool = False,
+) -> jax.Array:
+    """Visibility sweep with the MAP sharded across devices (for maps larger
+    than one chip's HBM); keyframes replicated.
+
+    Each device scatter-mins its map shard into a partial range image; a
+    ``pmin`` collective over the mesh merges partials into the global image
+    (one 450 KB all-reduce per keyframe riding ICI), and the winner/flag test
+    runs shard-locally.  Exactly equals the single-device sweep.
+    """
+    from ltm.kernels.projection import NO_POINT, VALID_DIFF_UB, range_image, spherical_project
+
+    n_dev = mesh.devices.size
+    n = map_xyz.shape[0]
+    mx = pad_to_multiple(map_xyz, n_dev)
+    mm = pad_to_multiple(map_mask, n_dev)
+
+    def local(mx_, mm_, sx, sm, pi):
+        def body(carry, inp):
+            s_xyz, s_mask, Tinv = inp
+            local_pts = mx_ @ Tinv[:3, :3].T + Tinv[:3, 3]
+            scan_img = range_image(s_xyz, s_mask, fov, shape)
+            pix, rng = spherical_project(local_pts, fov, shape)
+            rng_masked = jnp.where(mm_, rng, jnp.inf)
+            part = jnp.full((shape[0] * shape[1],), NO_POINT, local_pts.dtype)
+            part = part.at[pix].min(rng_masked, mode="drop")
+            map_img = jax.lax.pmin(part, KF_AXIS)          # global per-pixel min
+            diff_img = (map_img - scan_img) if reverse else (scan_img - map_img)
+            flag_img = (diff_img > diff_threshold) & (diff_img < VALID_DIFF_UB)
+            packed = jnp.where(flag_img, map_img, -map_img)
+            g = packed[pix]
+            win = mm_ & (rng <= jnp.abs(g))
+            return carry | (win & (g > 0)), None
+
+        init = jax.lax.pvary(jnp.zeros(mx_.shape[:-1], bool), KF_AXIS)
+        out, _ = jax.lax.scan(body, init, (sx, sm, pi))
+        return out
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(KF_AXIS), P(KF_AXIS), P(), P(), P()),
+        out_specs=P(KF_AXIS),
+        check_vma=False,
+    )
+    return fn(mx, mm, scans_xyz, scans_mask, pose_inv)[:n]
+
+
 def knn_avg_sqdist_sharded(
     mesh: Mesh,
     query_xyz: jax.Array, query_mask: jax.Array,

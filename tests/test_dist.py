@@ -78,3 +78,19 @@ def test_solve_sharded_matches_single_device(mesh):
     err = np.asarray(se3.log(se3.between(poses_ref, poses_sh)))
     assert np.abs(err).max() < 1e-3, np.abs(err).max()
     np.testing.assert_allclose(float(info_sh.cost_final), float(info_ref.cost_final), rtol=0.05, atol=1e-4)
+
+
+def test_sweep_map_sharded_matches(rng, mesh):
+    from ltm.dist import sweep_discrepancy_map_sharded
+
+    fov, shape = (50.0, 360.0), (25, 180)
+    mp = jnp.asarray(rng.normal(size=(1021, 3)).astype(np.float32) * 25)  # not divisible by 8
+    mmask = jnp.asarray(rng.uniform(size=1021) > 0.1)
+    K = 3
+    scans = jnp.asarray(rng.normal(size=(K, 512, 3)).astype(np.float32) * 25)
+    smask = jnp.ones((K, 512), bool)
+    pose_inv = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4))
+
+    ref = sweep_discrepancy(mp, mmask, scans, smask, pose_inv, fov, shape, 0.1, False)
+    out = sweep_discrepancy_map_sharded(mesh, mp, mmask, scans, smask, pose_inv, fov, shape, 0.1, False)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
