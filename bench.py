@@ -59,15 +59,15 @@ def main() -> None:
     poses_j = jnp.asarray(poses)
 
     # one-time blocking (amortized over all sweeps of all pipeline stages)
-    bm, overflow = build_block_map(map_xyz, map_mask, cell_size=50.0,
-                                   n_blocks=2048, block_capacity=4096)
+    bm, overflow = build_block_map(map_xyz, map_mask, cell_size=25.0,
+                                   n_blocks=8192, block_capacity=1024)
     assert int(overflow) == 0, int(overflow)
     # Exactness bound for the discrepancy stage: a map point farther than the
     # scan's maximum range can neither be flagged (diff = scan - map must be
     # > 0.1) nor displace a pixel minimum, so the block ball only needs to
     # cover max_scan_range (+ margin); see blocks.py docstring.
     max_range = 130.0
-    k_blocks = 192
+    k_blocks = 512
 
     def run():
         out = block_sweep_discrepancy(

@@ -14,6 +14,7 @@ kernels    dense compute primitives (polar binning, range images,
 retrieval  Scan Context descriptors and batched loop retrieval.
 register   point-to-point ICP (batched, fixed-shape, MXU correspondence).
 graph      pose-graph factors + matrix-free Levenberg-Marquardt solver.
+slam       LT-SLAM driver (sessions, loop search, optimization, writers).
 removert   high-dynamic removal and PD/ND change detection pipeline.
 ltmap      updated-map / updated-scan composition.
 io         reference-compatible file protocol (g2o, SCD, PCD, KITTI poses).

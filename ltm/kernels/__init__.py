@@ -1,1 +1,1 @@
-from ltm.kernels import knn, polar_bin, projection, voxel  # noqa: F401
+from ltm.kernels import blocks, knn, pallas_knn, polar_bin, projection, voxel  # noqa: F401
