@@ -55,7 +55,10 @@ def _updated_scans_as_input(result: RemovertResult, base: RemovertInput,
         win, *_ = winner_mask(local, upd, fov, proj_shape)
         pts = np.asarray(local)[np.asarray(win)]
         scans.append(np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], axis=1).astype(np.float32))
-    poses = np.asarray(c.poses[: c.num_keyframes], np.float64)
+    # session poses store base∘lidar2base; RemovertInput expects base poses
+    # (the extrinsic is re-applied at build time)
+    lidar2base_inv = np.linalg.inv(np.asarray(cfg.extrinsic_lidar_to_base, np.float64).reshape(4, 4))
+    poses = np.asarray(c.poses[: c.num_keyframes], np.float64) @ lidar2base_inv
     return RemovertInput(scans=scans, poses=poses,
                          names=[f"{i:06d}.pcd" for i in range(len(scans))])
 

@@ -102,6 +102,8 @@ class Removerter:
         log.info("central: %d keyframes, %d map pts | query: %d keyframes, %d map pts",
                  central.num_keyframes, int(central.map_mask.sum()),
                  query.num_keyframes, int(query.map_mask.sum()))
+        for sess in (central, query):
+            self._check_block_coverage(sess)
 
         # ---------------- Step 1: high-dynamic removal --------------------
         with stage_timer("removert.high_dynamic", log):
@@ -174,6 +176,25 @@ class Removerter:
         return result
 
     # ------------------------------------------------------------------
+    def _check_block_coverage(self, sess: RemovertSession):
+        """Exactness guard: every keyframe's range ball must fit in k_blocks,
+        otherwise the block sweeps would silently drop map regions."""
+        if sess.bm is None:
+            return
+        cfg = self.cfg
+        centers = np.asarray(sess.bm.centers)
+        radius = np.asarray(sess.bm.radius)
+        valid = np.asarray(sess.bm.block_valid)
+        origins = np.asarray(sess.poses)[: sess.num_keyframes, :3, 3]
+        d = np.linalg.norm(centers[None] - origins[:, None], axis=-1) - radius[None]
+        counts = ((d <= cfg.block_max_range) & valid[None]).sum(axis=1)
+        if counts.max(initial=0) > cfg.k_blocks:
+            raise ValueError(
+                f"{sess.sess_type}: up to {int(counts.max())} blocks intersect a "
+                f"keyframe's {cfg.block_max_range} m ball but k_blocks={cfg.k_blocks}; "
+                "raise k_blocks (or block_cell_size) to keep block sweeps exact"
+            )
+
     def _sweep(self, sess: RemovertSession, mask, fov, res):
         shape = rimg_shape(fov, res)
         if sess.bm is not None:

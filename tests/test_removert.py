@@ -174,7 +174,7 @@ def test_block_map_pipeline_matches_flat(bundle, result):
     cfg.block_cell_size = 25.0
     cfg.n_blocks = 256
     cfg.block_capacity = 1024
-    cfg.k_blocks = 96
+    cfg.k_blocks = 192
     cfg.block_max_range = 400.0
     res_b = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]))
 

@@ -119,3 +119,23 @@ def test_ring_sector_keys(rng):
     d = random_descs(rng, 2)
     np.testing.assert_allclose(np.asarray(sc.ring_keys(jnp.asarray(d))), d.mean(-1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(sc.sector_keys(jnp.asarray(d))), d.mean(-2), atol=1e-6)
+
+
+def test_intra_session_loop_detection(rng):
+    from ltm.retrieval.scancontext import detect_loops_intra_session
+
+    K = 50
+    descs = random_descs(rng, K, sparsity=0.5)
+    # node 45 revisits node 3's place
+    descs[45] = descs[3] + rng.normal(scale=0.01, size=descs[0].shape).astype(np.float32)
+    loop_idx, dist, yaw = detect_loops_intra_session(
+        jnp.asarray(descs), jnp.ones(K, bool), dist_threshold=0.2, num_exclude_recent=30,
+    )
+    loop_idx = np.asarray(loop_idx)
+    assert loop_idx[45] == 3
+    # early nodes can never match (no database older than exclusion window)
+    assert (loop_idx[:31] == -1).all()
+    # matches never point at recent nodes
+    for q in range(K):
+        if loop_idx[q] >= 0:
+            assert loop_idx[q] <= q - 30
