@@ -79,6 +79,7 @@ class LTSlamConfig:
     num_sc_loops_upper_bound: int = 1000
     num_rs_loops_upper_bound: int = 0
     rs_ball_radius: float = 10.0                # hard-coded 10.0 (``LTslam.cpp:471``)
+    pairwise_session_loops: bool = False        # N-session: also close loops between non-base pairs
 
     # noise variances, tangent order [w, w, w, v, v, v] (``LTslam.cpp:100-133``)
     prior_variances: Tuple[float, ...] = (1e-12,) * 6

@@ -116,6 +116,14 @@ class LTSlam:
                 sc_pairs, rs_candidates, sc_yaws = self._detect_sc_loops(s_idx)
                 n_sc += self._add_sc_loops(s_idx, sc_pairs, sc_yaws)
                 all_rs_candidates[s_idx] = rs_candidates
+            if cfg.pairwise_session_loops:
+                # loops between non-base session pairs — chains alignment
+                # through intermediate sessions when overlap with the base
+                # is weak (generalizes beyond the reference's central/query)
+                for t_idx in range(1, self.n_sessions):
+                    for s_idx in range(t_idx + 1, self.n_sessions):
+                        sc_pairs, _, sc_yaws = self._detect_sc_loops(s_idx, t_idx)
+                        n_sc += self._add_sc_loops(s_idx, sc_pairs, sc_yaws, target_idx=t_idx)
         with stage_timer("ltslam.optimize.sc", log):
             self._optimize()
 
@@ -216,9 +224,9 @@ class LTSlam:
     # ------------------------------------------------------------------
     # SC loops
     # ------------------------------------------------------------------
-    def _detect_sc_loops(self, source_idx: int = 1):
+    def _detect_sc_loops(self, source_idx: int = 1, target_idx: int = 0):
         cfg = self.cfg
-        target, source = self.sessions[0], self.sessions[source_idx]
+        target, source = self.sessions[target_idx], self.sessions[source_idx]
         loop_idx, dist, yaw = sc_retrieval.detect_loops_between_sessions(
             source.descriptors, source.node_valid,
             target.descriptors, target.node_valid,
@@ -311,14 +319,14 @@ class LTSlam:
                 results.append((T[b], float(fit[b])))
         return results
 
-    def _add_sc_loops(self, source_idx: int, sc_pairs, sc_yaws) -> int:
+    def _add_sc_loops(self, source_idx: int, sc_pairs, sc_yaws, target_idx: int = 0) -> int:
         cfg = self.cfg
         pairs = self._equisample(sc_pairs, cfg.num_sc_loops_upper_bound)
         if not pairs:
             return 0
         with stage_timer("ltslam.sc_loops.prepare", log):
             data = [
-                self._prepare_icp_pair(source_idx, src, 0, tgt, central_coords=False)
+                self._prepare_icp_pair(source_idx, src, target_idx, tgt, central_coords=False)
                 for (tgt, src) in pairs
             ]
         # ICP init from the SC yaw estimate (an improvement over the
@@ -335,9 +343,9 @@ class LTSlam:
             if fitness < cfg.loop_fitness_score_threshold:
                 self.anchored.append(
                     (
-                        self._node_var(0, tgt),
+                        self._node_var(target_idx, tgt),
                         self._node_var(source_idx, src),
-                        self._anchor_var(0),
+                        self._anchor_var(target_idx),
                         self._anchor_var(source_idx),
                         T_icp,
                         cfg.robust_variances,
