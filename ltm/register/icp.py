@@ -8,7 +8,7 @@ rigid update per iteration, transformation-epsilon early stop, and
 
 TPU design: correspondences come from the tiled-matmul 1-NN kernel
 (``ltm.kernels.knn.nn_sqdist_argmin`` — MXU-bound); the iteration loop is a
-``lax.fori_loop`` with a convergence freeze so a whole batch of candidate
+``lax.while_loop`` with per-pair convergence freeze and whole-batch early exit, so candidate
 loop pairs runs under one jit/vmap (the reference parallelized this with an
 OpenMP farm + mutex, ``LTslam.cpp:389-416``).
 """
@@ -74,7 +74,15 @@ def icp_point_to_point(
     has_tgt = jnp.any(tgt_mask)
     has_src = jnp.any(src_mask)
 
-    def body(it, state):
+    def cond(state):
+        _, done, n_it = state
+        # under vmap this becomes "any lane still active": the whole batch
+        # stops as soon as every member converged (a fori_loop would burn
+        # max_iterations regardless — converged SLAM loop pairs typically
+        # finish in 10-30 iterations)
+        return (~done) & (n_it < max_iterations)
+
+    def body(state):
         T, done, n_it = state
 
         def step(_):
@@ -88,11 +96,10 @@ def icp_point_to_point(
             dT = jnp.sum((T_new - T) ** 2)
             return T_new, dT < transformation_epsilon, n_it + 1
 
-        T1, conv, n1 = jax.lax.cond(done, lambda _: (T, done, n_it), step, None)
-        return T1, conv, n1
+        return jax.lax.cond(done, lambda _: (T, done, n_it), step, None)
 
     init_state = (T0, ~(has_tgt & has_src), jnp.asarray(0))
-    T, done, n_it = jax.lax.fori_loop(0, max_iterations, body, init_state)
+    T, done, n_it = jax.lax.while_loop(cond, body, init_state)
 
     fit = fitness_score(src_xyz, src_mask, tgt_xyz, tgt_mask, T, tile=tile)
     # "converged" in the reference's accept test is PCL's criterion state,
