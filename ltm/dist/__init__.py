@@ -1,6 +1,7 @@
 from ltm.dist.mesh import KF_AXIS, make_mesh, pad_to_multiple  # noqa: F401
 from ltm.dist.init import initialize_multihost, is_multihost  # noqa: F401
 from ltm.dist.sharding import (  # noqa: F401
+    icp_batch_sharded,
     knn_avg_sqdist_sharded,
     sc_distance_sharded,
     sweep_discrepancy_map_sharded,

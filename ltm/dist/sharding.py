@@ -28,7 +28,7 @@ from ltm.kernels.knn import knn_avg_sqdist
 from ltm.kernels.projection import discrepancy_mask
 from ltm.retrieval.scancontext import sc_distance_matrix
 
-__all__ = ["sweep_discrepancy_sharded", "knn_avg_sqdist_sharded", "sc_distance_sharded"]
+__all__ = ["sweep_discrepancy_sharded", "sweep_discrepancy_map_sharded", "knn_avg_sqdist_sharded", "sc_distance_sharded", "icp_batch_sharded"]
 
 
 def sweep_discrepancy_sharded(
@@ -52,7 +52,7 @@ def sweep_discrepancy_sharded(
             dyn = discrepancy_mask(loc, mm, s_xyz, s_mask, fov, shape, diff_threshold, reverse)
             return carry | dyn, None
 
-        init = jax.lax.pvary(jnp.zeros(mx.shape[:-1], bool), KF_AXIS)
+        init = jax.lax.pcast(jnp.zeros(mx.shape[:-1], bool), KF_AXIS, to="varying")
         out, _ = jax.lax.scan(body, init, (sx, sm, pi))
         # logical OR across devices
         return jax.lax.psum(out.astype(jnp.int32), KF_AXIS) > 0
@@ -105,7 +105,7 @@ def sweep_discrepancy_map_sharded(
             win = mm_ & (rng <= jnp.abs(g))
             return carry | (win & (g > 0)), None
 
-        init = jax.lax.pvary(jnp.zeros(mx_.shape[:-1], bool), KF_AXIS)
+        init = jax.lax.pcast(jnp.zeros(mx_.shape[:-1], bool), KF_AXIS, to="varying")
         out, _ = jax.lax.scan(body, init, (sx, sm, pi))
         return out
 
@@ -164,3 +164,38 @@ def sc_distance_sharded(
     )
     dist, shift = fn(qd, target_descs)
     return dist[:q], shift[:q]
+
+
+def icp_batch_sharded(mesh: Mesh, src_xyz, src_mask, tgt_xyz, tgt_mask,
+                      init_transforms=None, **kw):
+    """ICP candidate batch sharded across devices (the reference's OpenMP ICP
+    farm, ``ltslam/src/LTslam.cpp:389``, at chip scale).  Each device runs its
+    vmapped shard with an independent early-exit loop."""
+    import jax.numpy as jnp
+
+    from ltm.register.icp import icp_batch
+
+    n_dev = mesh.devices.size
+    b = src_xyz.shape[0]
+    if init_transforms is None:
+        init_transforms = jnp.broadcast_to(jnp.eye(4, dtype=src_xyz.dtype), (b, 4, 4))
+    pad = (-b) % n_dev
+    if pad:
+        rep = lambda a: jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+        src_xyz, src_mask = rep(src_xyz), rep(src_mask)
+        tgt_xyz, tgt_mask = rep(tgt_xyz), rep(tgt_mask)
+        init_transforms = rep(init_transforms)
+
+    def local(s, sm, t, tm, T0):
+        return tuple(icp_batch(s, sm, t, tm, T0, **kw))
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(KF_AXIS), P(KF_AXIS), P(KF_AXIS), P(KF_AXIS), P(KF_AXIS)),
+        out_specs=(P(KF_AXIS), P(KF_AXIS), P(KF_AXIS), P(KF_AXIS)),
+        check_vma=False,
+    )
+    T, conv, fit, iters = fn(src_xyz, src_mask, tgt_xyz, tgt_mask, init_transforms)
+    from ltm.register.icp import ICPResult
+
+    return ICPResult(T[:b], conv[:b], fit[:b], iters[:b])

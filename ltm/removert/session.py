@@ -38,13 +38,19 @@ class RemovertInput:
 
     @classmethod
     def from_dirs(cls, scan_dir: str, pose_path: str) -> "RemovertInput":
+        """Load a scan directory (.pcd, or KITTI .bin — the reference's
+        ``isScanFileKITTIFormat`` path) + a KITTI pose file."""
         import os
 
-        from ltm.io.pcd import read_pcd
+        from ltm.io.pcd import read_kitti_bin, read_pcd
         from ltm.io.poses import read_kitti_poses
 
-        names = sorted(n for n in os.listdir(scan_dir) if n.endswith(".pcd"))
-        scans = [read_pcd(os.path.join(scan_dir, n)) for n in names]
+        names = sorted(n for n in os.listdir(scan_dir) if n.endswith((".pcd", ".bin")))
+        scans = [
+            read_kitti_bin(os.path.join(scan_dir, n)) if n.endswith(".bin")
+            else read_pcd(os.path.join(scan_dir, n))
+            for n in names
+        ]
         poses = read_kitti_poses(pose_path)
         if len(scans) != len(poses):
             raise ValueError(f"{len(scans)} scans vs {len(poses)} poses")

@@ -94,3 +94,27 @@ def test_sweep_map_sharded_matches(rng, mesh):
     ref = sweep_discrepancy(mp, mmask, scans, smask, pose_inv, fov, shape, 0.1, False)
     out = sweep_discrepancy_map_sharded(mesh, mp, mmask, scans, smask, pose_inv, fov, shape, 0.1, False)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_icp_batch_sharded_matches(rng, mesh):
+    from ltm.core import se3
+    from ltm.dist import icp_batch_sharded
+    from ltm.register import icp_batch
+
+    B, NS, NT = 6, 256, 1024   # B not divisible by 8
+    base = rng.normal(size=(NT, 3)).astype(np.float32) * np.array([10, 10, 2], np.float32)
+    srcs, tgts = [], []
+    for b in range(B):
+        T = np.asarray(se3.from_rpy(0, 0, 0.05 * b, t=[0.1 * b, -0.1, 0]))
+        srcs.append(base[:NS] @ T[:3, :3].T + T[:3, 3])
+        tgts.append(base)
+    src = jnp.asarray(np.stack(srcs))
+    tgt = jnp.asarray(np.stack(tgts))
+    sm = jnp.ones((B, NS), bool)
+    tm = jnp.ones((B, NT), bool)
+    ref = icp_batch(src, sm, tgt, tm, max_iterations=30, tile=512)
+    out = icp_batch_sharded(mesh, src, sm, tgt, tm, max_iterations=30, tile=512)
+    np.testing.assert_allclose(np.asarray(out.transform), np.asarray(ref.transform), atol=1e-4)
+    # fitness sits at the convergence noise floor (~1e-5); different batch
+    # shapes vectorize reductions differently -> tiny f32 order differences
+    np.testing.assert_allclose(np.asarray(out.fitness), np.asarray(ref.fitness), rtol=1e-3, atol=1e-4)
