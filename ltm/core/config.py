@@ -43,6 +43,10 @@ class ICPConfig:
     # non-PCL extension: trim correspondences beyond this distance from the
     # rigid update (None = strict reference behavior)
     update_trim_distance: Optional[float] = None
+    # coarse-to-fine schedule: >0 enables a first phase against every
+    # coarse_stride-th target point (0 = strict reference behavior)
+    coarse_iterations: int = 0
+    coarse_stride: int = 4
     # submap assembly (``ltslam/src/LTslam.cpp:199``, ``ltslam/src/Session.cpp:18``)
     history_search_num: int = 25
     submap_voxel_size: float = 0.3

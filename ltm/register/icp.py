@@ -51,7 +51,7 @@ def _umeyama_rigid(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
     return se3.from_rot_trans(R, t)
 
 
-@partial(jax.jit, static_argnames=("max_iterations", "tile"))
+@partial(jax.jit, static_argnames=("max_iterations", "tile", "coarse_iterations", "coarse_stride"))
 def icp_point_to_point(
     src_xyz: jax.Array,      # (N, 3)
     src_mask: jax.Array,     # (N,)
@@ -63,43 +63,56 @@ def icp_point_to_point(
     transformation_epsilon: float = 1e-6,
     tile: int = 4096,
     update_trim_distance: float | None = None,
+    coarse_iterations: int = 0,
+    coarse_stride: int = 4,
 ) -> ICPResult:
     """``update_trim_distance`` (optional, non-PCL extension): reject
     correspondences beyond this distance from the *rigid update* only —
     fitness keeps PCL semantics.  Improves robustness under partial overlap;
-    leave None for strict reference behavior."""
+    leave None for strict reference behavior.
+
+    ``coarse_iterations > 0`` enables a coarse-to-fine schedule: the first
+    phase iterates against every ``coarse_stride``-th target point (NN cost
+    scales with target size), then refines on the full target.  Final
+    transform/fitness always come from full-resolution iterations."""
     T0 = jnp.eye(4, dtype=src_xyz.dtype) if init_transform is None else init_transform
     trim = max_correspondence_distance if update_trim_distance is None else update_trim_distance
     max_d2 = jnp.minimum(max_correspondence_distance, trim) ** 2
     has_tgt = jnp.any(tgt_mask)
     has_src = jnp.any(src_mask)
 
-    def cond(state):
-        _, done, n_it = state
-        # under vmap this becomes "any lane still active": the whole batch
-        # stops as soon as every member converged (a fori_loop would burn
-        # max_iterations regardless — converged SLAM loop pairs typically
-        # finish in 10-30 iterations)
-        return (~done) & (n_it < max_iterations)
+    def run_phase(T_init, n_it_init, t_xyz, t_mask, iters):
+        def cond(state):
+            _, done, n_it = state
+            # under vmap this is "any lane still active": the whole batch
+            # stops as soon as every member converged
+            return (~done) & (n_it < iters)
 
-    def body(state):
-        T, done, n_it = state
+        def body(state):
+            T, done, n_it = state
 
-        def step(_):
-            moved = se3.transform_points(T, src_xyz)
-            d2, idx = nn_sqdist_argmin(moved, src_mask, tgt_xyz, tgt_mask, tile=tile)
-            w = (src_mask & (d2 <= max_d2)).astype(src_xyz.dtype)
-            dst = tgt_xyz[idx]
-            delta = _umeyama_rigid(moved, dst, w)
-            T_new = se3.compose(delta, T)
-            # PCL transformation epsilon: squared diff of consecutive transforms
-            dT = jnp.sum((T_new - T) ** 2)
-            return T_new, dT < transformation_epsilon, n_it + 1
+            def step(_):
+                moved = se3.transform_points(T, src_xyz)
+                d2, idx = nn_sqdist_argmin(moved, src_mask, t_xyz, t_mask, tile=tile)
+                w = (src_mask & (d2 <= max_d2)).astype(src_xyz.dtype)
+                dst = t_xyz[idx]
+                delta = _umeyama_rigid(moved, dst, w)
+                T_new = se3.compose(delta, T)
+                # PCL transformation epsilon: sq diff of consecutive transforms
+                dT = jnp.sum((T_new - T) ** 2)
+                return T_new, dT < transformation_epsilon, n_it + 1
 
-        return jax.lax.cond(done, lambda _: (T, done, n_it), step, None)
+            return jax.lax.cond(done, lambda _: (T, done, n_it), step, None)
 
-    init_state = (T0, ~(has_tgt & has_src), jnp.asarray(0))
-    T, done, n_it = jax.lax.while_loop(cond, body, init_state)
+        init = (T_init, ~(has_tgt & has_src), n_it_init)
+        return jax.lax.while_loop(cond, body, init)
+
+    n_it0 = jnp.asarray(0)
+    if coarse_iterations > 0:
+        c_xyz = tgt_xyz[::coarse_stride]
+        c_mask = tgt_mask[::coarse_stride]
+        T0, _, n_it0 = run_phase(T0, n_it0, c_xyz, c_mask, coarse_iterations)
+    T, done, n_it = run_phase(T0, n_it0, tgt_xyz, tgt_mask, max_iterations)
 
     fit = fitness_score(src_xyz, src_mask, tgt_xyz, tgt_mask, T, tile=tile)
     # "converged" in the reference's accept test is PCL's criterion state,

@@ -312,6 +312,8 @@ class LTSlam:
                 transformation_epsilon=cfg.transformation_epsilon,
                 tile=4096,
                 update_trim_distance=cfg.update_trim_distance,
+                coarse_iterations=cfg.coarse_iterations,
+                coarse_stride=cfg.coarse_stride,
             )
             T = np.asarray(res.transform)
             fit = np.asarray(res.fitness)

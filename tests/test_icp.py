@@ -68,3 +68,17 @@ def test_icp_empty_target():
     src = jnp.asarray(np.random.default_rng(0).normal(size=(50, 3)), jnp.float32)
     res = icp_point_to_point(src, jnp.ones(50, bool), src, jnp.zeros(50, bool), max_iterations=5, tile=64)
     assert not bool(res.converged)
+
+
+def test_icp_coarse_to_fine(rng):
+    src = structured_cloud(rng)
+    T_gt = np.asarray(se3.from_rpy(0.0, 0.0, 0.12, t=[0.7, -0.4, 0.1]))
+    tgt = (src @ T_gt[:3, :3].T + T_gt[:3, 3]).astype(np.float32)
+    n = len(src)
+    res = icp_point_to_point(
+        jnp.asarray(src), jnp.ones(n, bool), jnp.asarray(tgt), jnp.ones(n, bool),
+        max_iterations=40, tile=1024, coarse_iterations=25, coarse_stride=4,
+    )
+    err = np.asarray(se3.log(se3.between(jnp.asarray(T_gt, jnp.float32), res.transform)))
+    assert np.abs(err).max() < 2e-3, err
+    assert float(res.fitness) < 1e-3
