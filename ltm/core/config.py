@@ -39,6 +39,8 @@ class ICPConfig:
     max_correspondence_distance: float = 150.0
     max_iterations: int = 100
     transformation_epsilon: float = 1e-6
+    # PCL's third convergence criterion (relative MSE change) is not
+    # implemented — loop acceptance is governed by the fitness threshold
     euclidean_fitness_epsilon: float = 1e-6
     # non-PCL extension: trim correspondences beyond this distance from the
     # rigid update (None = strict reference behavior)
@@ -86,6 +88,9 @@ class LTSlamConfig:
     pairwise_session_loops: bool = False        # N-session: also close loops between non-base pairs
 
     # noise variances, tangent order [w, w, w, v, v, v] (``LTslam.cpp:100-133``)
+    # prior_variances are realized as gauge-frozen variables (1e-12 variance
+    # == pinned); loop_variances mirrors the reference's ``loopNoise``, which
+    # the reference defines but never attaches to a factor (``LTslam.cpp:117``)
     prior_variances: Tuple[float, ...] = (1e-12,) * 6
     odom_variances: Tuple[float, ...] = (1e-4,) * 6
     loop_variances: Tuple[float, ...] = (1e-4, 1e-4, 1e-4, 1e-3, 1e-3, 1e-3)
@@ -129,8 +134,8 @@ class RemovertConfig:
     nd_pd_filter_resolution: float = 2.5     # Removerter.cpp:1397,1407
     nd_pd_filter_repeats: int = 3
     diff_threshold: float = 0.1              # default in calcDescrepancy...
-    valid_diff_upper_bound: float = 200.0    # kValidDiffUpperBound (utility.h:94)
-    no_point_flag: float = 10000.0           # kFlagNoPOINT (utility.h:93)
+    # kValidDiffUpperBound / kFlagNoPOINT are compile-time constants in the
+    # reference too (utility.h:93-94); here they live in kernels/projection.py
 
     # keyframe parsing
     start_idx: int = 0
@@ -160,7 +165,6 @@ class RemovertConfig:
     max_keyframes: int = 128
     scan_capacity: int = 16384
     map_capacity: int = 1 << 20
-    delta_map_capacity: int = 1 << 18
 
     # block-structured map (ltm.kernels.blocks): per-keyframe locality for
     # the visibility sweeps — the big-map fast path.  block_max_range must be

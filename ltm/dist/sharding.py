@@ -81,7 +81,7 @@ def sweep_discrepancy_map_sharded(
     (one 450 KB all-reduce per keyframe riding ICI), and the winner/flag test
     runs shard-locally.  Exactly equals the single-device sweep.
     """
-    from ltm.kernels.projection import NO_POINT, VALID_DIFF_UB, range_image, spherical_project
+    from ltm.kernels.projection import VALID_DIFF_UB, _project_min, range_image
 
     n_dev = mesh.devices.size
     n = map_xyz.shape[0]
@@ -93,10 +93,7 @@ def sweep_discrepancy_map_sharded(
             s_xyz, s_mask, Tinv = inp
             local_pts = mx_ @ Tinv[:3, :3].T + Tinv[:3, 3]
             scan_img = range_image(s_xyz, s_mask, fov, shape)
-            pix, rng = spherical_project(local_pts, fov, shape)
-            rng_masked = jnp.where(mm_, rng, jnp.inf)
-            part = jnp.full((shape[0] * shape[1],), NO_POINT, local_pts.dtype)
-            part = part.at[pix].min(rng_masked, mode="drop")
+            pix, rng, part = _project_min(local_pts, mm_, fov, shape)
             map_img = jax.lax.pmin(part, KF_AXIS)          # global per-pixel min
             diff_img = (map_img - scan_img) if reverse else (scan_img - map_img)
             flag_img = (diff_img > diff_threshold) & (diff_img < VALID_DIFF_UB)

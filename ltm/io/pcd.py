@@ -96,7 +96,7 @@ def read_pcd(path: str, want_intensity: bool = True) -> np.ndarray:
         arr = np.frombuffer(data, dtype=dtype, count=points, offset=offset)
     elif fmt == "ascii":
         text = data[offset:].decode("ascii", "replace")
-        flat = np.fromstring(text, sep=" ") if False else np.array(text.split(), dtype=np.float64)
+        flat = np.array(text.split(), dtype=np.float64)
         ncols = sum(counts)
         flat = flat.reshape(points, ncols)
         arr = np.zeros(points, dtype=dtype)

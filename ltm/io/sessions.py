@@ -66,8 +66,13 @@ def load_session_dir(path: str, name: Optional[str] = None, load_scans: bool = T
     poses = graph.poses_array()
     order = np.argsort(node_ids)
     node_ids, poses = node_ids[order], poses[order]
-    if max_nodes is not None:
+    ef, et, er = graph.edges_arrays()
+    if max_nodes is not None and len(node_ids) > max_nodes:
         node_ids, poses = node_ids[:max_nodes], poses[:max_nodes]
+        # edges referencing truncated nodes must go too — a stale index would
+        # silently address another session's variables in the joint graph
+        keep = (ef < max_nodes) & (et < max_nodes)
+        ef, et, er = ef[keep], et[keep], er[keep]
     n = len(node_ids)
 
     scans: List[np.ndarray] = []
@@ -87,7 +92,7 @@ def load_session_dir(path: str, name: Optional[str] = None, load_scans: bool = T
         name=name or os.path.basename(os.path.normpath(path)),
         node_ids=node_ids,
         poses=poses,
-        edges=graph.edges_arrays(),
+        edges=(ef, et, er),
         scans=scans,
         descriptors=descriptors,
     )

@@ -69,14 +69,19 @@ def spherical_project(xyz: jax.Array, fov: Tuple[float, float], shape: Tuple[int
     return row * ncol + col, rng
 
 
-def range_image(xyz: jax.Array, mask: jax.Array, fov, shape) -> jax.Array:
-    """Scatter-min range image, flattened (nrow*ncol,). Empty pixels = NO_POINT."""
+def _project_min(xyz: jax.Array, mask: jax.Array, fov, shape):
+    """(pixel ids, ranges, scatter-min image) — the shared projection core."""
     pix, rng = spherical_project(xyz, fov, shape)
-    rng = jnp.where(mask, rng, jnp.inf)
+    rng_masked = jnp.where(mask, rng, jnp.inf)
     n_pix = shape[0] * shape[1]
     img = jnp.full((n_pix,), NO_POINT, xyz.dtype)
-    img = img.at[pix].min(rng, mode="drop")
-    return img
+    img = img.at[pix].min(rng_masked, mode="drop")
+    return pix, rng, img
+
+
+def range_image(xyz: jax.Array, mask: jax.Array, fov, shape) -> jax.Array:
+    """Scatter-min range image, flattened (nrow*ncol,). Empty pixels = NO_POINT."""
+    return _project_min(xyz, mask, fov, shape)[2]
 
 
 def winner_mask(xyz: jax.Array, mask: jax.Array, fov, shape, img: jax.Array | None = None):
@@ -115,11 +120,7 @@ def discrepancy_mask(
     all image-space work (diff, thresholds) is dense VPU arithmetic.
     """
     scan_img = range_image(scan_xyz, scan_mask, fov, shape)
-    pix, rng = spherical_project(map_xyz_local, fov, shape)
-    rng_masked = jnp.where(map_mask, rng, jnp.inf)
-    n_pix = shape[0] * shape[1]
-    map_img = jnp.full((n_pix,), NO_POINT, map_xyz_local.dtype)
-    map_img = map_img.at[pix].min(rng_masked, mode="drop")
+    pix, rng, map_img = _project_min(map_xyz_local, map_mask, fov, shape)
 
     diff_img = (map_img - scan_img) if reverse else (scan_img - map_img)
     flag_img = (diff_img > diff_threshold) & (diff_img < VALID_DIFF_UB)

@@ -233,10 +233,16 @@ class Removerter:
             return cur | (dynamic & ~flagged), dynamic & flagged
 
         if cfg.use_self_removert:
-            for res in cfg.remove_resolution_list:
+            for i, res in enumerate(cfg.remove_resolution_list):
+                # revert resolution: the config list when provided, else the
+                # reference's hard-coded 0.95x (``Removerter.cpp:1385``)
+                if cfg.revert_resolution_list:
+                    revert_res = cfg.revert_resolution_list[min(i, len(cfg.revert_resolution_list) - 1)]
+                else:
+                    revert_res = 0.95 * res
                 for _ in range(max(cfg.repeat_removert_iter, 1)):
                     cur, dynamic = remove_once(cur, dynamic, res)
-                    cur, dynamic = revert_once(cur, dynamic, 0.95 * res)
+                    cur, dynamic = revert_once(cur, dynamic, revert_res)
                     cur, dynamic = remove_once(cur, dynamic, res)
         else:
             for res in cfg.remove_resolution_list:
@@ -394,8 +400,10 @@ class Removerter:
                 local = c.map_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
                 map_img = np.asarray(range_image(local, c.map_mask, fov, shape)).reshape(shape)
                 diff = np.where((scan_img < NO_POINT) & (map_img < NO_POINT), scan_img - map_img, NO_POINT)
-                save_range_image_png(os.path.join(out_dir, f"rimg_scan_{k:04d}.png"), scan_img)
-                save_range_image_png(os.path.join(out_dir, f"rimg_map_{k:04d}.png"), map_img)
+                save_range_image_png(os.path.join(out_dir, f"rimg_scan_{k:04d}.png"), scan_img,
+                                     vmin=cfg.rimg_color_min, vmax=cfg.rimg_color_max)
+                save_range_image_png(os.path.join(out_dir, f"rimg_map_{k:04d}.png"), map_img,
+                                     vmin=cfg.rimg_color_min, vmax=cfg.rimg_color_max)
                 save_range_image_png(os.path.join(out_dir, f"rimg_diff_{k:04d}.png"), diff, vmin=-2.0, vmax=2.0)
 
         if not cfg.save_clean_scans_pcd:

@@ -45,7 +45,15 @@ class RemovertInput:
         from ltm.io.pcd import read_kitti_bin, read_pcd
         from ltm.io.poses import read_kitti_poses
 
-        names = sorted(n for n in os.listdir(scan_dir) if n.endswith((".pcd", ".bin")))
+        from ltm.io.sessions import _file_index
+
+        names = [n for n in os.listdir(scan_dir) if n.endswith((".pcd", ".bin"))]
+        # numeric sort by leading index ('10.pcd' must follow '2.pcd'; pose
+        # file lines are in scan-index order)
+        try:
+            names.sort(key=_file_index)
+        except ValueError:
+            names.sort()
         scans = [
             read_kitti_bin(os.path.join(scan_dir, n)) if n.endswith(".bin")
             else read_pcd(os.path.join(scan_dir, n))

@@ -190,7 +190,10 @@ class LTSlam:
 
         self._between_capacity = max(len(self.betweens) + 8, 1)
         per_pair = cfg.num_sc_loops_upper_bound + max(cfg.num_rs_loops_upper_bound, 16)
-        self._anchored_capacity = max(per_pair * (self.n_sessions - 1), 1)
+        n_pairs = self.n_sessions - 1
+        if cfg.pairwise_session_loops:
+            n_pairs += (self.n_sessions - 1) * (self.n_sessions - 2) // 2
+        self._anchored_capacity = max(per_pair * n_pairs, 1)
 
     def _build_graph(self):
         return build_graph_data(
@@ -199,7 +202,7 @@ class LTSlam:
             priors=self.priors,
             betweens=self.betweens,
             anchored=self.anchored,
-            prior_capacity=4,
+            prior_capacity=max(self.n_sessions, 4),
             between_capacity=self._between_capacity,
             anchored_capacity=self._anchored_capacity,
         )
@@ -243,13 +246,16 @@ class LTSlam:
 
     @staticmethod
     def _equisample(pairs: List, upper: int) -> List:
-        """``equisampleElements`` (``LTslam.cpp:353-368``)."""
+        """``equisampleElements`` (``LTslam.cpp:353-368``) with a float gap:
+        the reference computes the gap with integer division (``:378``),
+        which degenerates to a contiguous prefix whenever bound > n/2 —
+        a float gap spreads picks across the whole trajectory."""
         n_all = len(pairs)
         n_add = min(n_all, upper)
         if n_add == 0:
             return []
-        gap = n_all // n_add
-        return [pairs[int(round(i * gap))] for i in range(n_add)]
+        gap = n_all / n_add
+        return [pairs[min(int(round(i * gap)), n_all - 1)] for i in range(n_add)]
 
     def _prepare_icp_pair(self, s_idx_src: int, node_src: int, s_idx_tgt: int, node_tgt: int,
                           central_coords: bool):

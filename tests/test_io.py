@@ -107,3 +107,47 @@ def test_synthetic_ground_truth_consistency():
     for k in range(1, 5):
         T = T @ er[k - 1]
     np.testing.assert_allclose(T, q.data.poses[4], atol=1e-6)
+
+
+def test_truncation_drops_out_of_range_edges(tmp_path):
+    """Edges past max_nodes must not survive truncation (they would address
+    other sessions' variables in the joint graph)."""
+    from ltm.io.g2o import G2oGraph, write_g2o
+
+    g = G2oGraph()
+    for i in range(10):
+        g.node_ids.append(i)
+        g.node_poses.append(np.eye(4))
+    for i in range(9):
+        g.edge_from.append(i)
+        g.edge_to.append(i + 1)
+        g.edge_rel.append(np.eye(4))
+    d = tmp_path / "s"
+    d.mkdir()
+    (d / "Scans").mkdir()
+    write_g2o(str(d / "singlesession_posegraph.g2o"), g)
+    sess = load_session_dir(str(d), load_scans=False, load_scds=False, max_nodes=5)
+    assert sess.num_nodes == 5
+    ef, et, _ = sess.edges
+    assert len(ef) == 4
+    assert (ef < 5).all() and (et < 5).all()
+
+
+def test_removert_input_numeric_name_sort(tmp_path, rng):
+    """1.pcd, 2.pcd, ..., 10.pcd must pair with pose lines 0..9 in order."""
+    from ltm.io.pcd import write_pcd
+    from ltm.io.poses import write_kitti_poses
+    from ltm.removert.session import RemovertInput
+
+    d = tmp_path / "scans"
+    d.mkdir()
+    poses = np.tile(np.eye(4), (11, 1, 1))
+    for i in range(11):
+        # scan i carries its index in the x coordinate
+        write_pcd(str(d / f"{i}.pcd"), np.full((4, 4), float(i), np.float32))
+        poses[i, 0, 3] = i
+    write_kitti_poses(str(tmp_path / "poses.txt"), poses)
+    inp = RemovertInput.from_dirs(str(d), str(tmp_path / "poses.txt"))
+    for i in range(11):
+        assert inp.scans[i][0, 0] == float(i), (i, inp.names[i])
+        assert inp.poses[i][0, 3] == float(i)
