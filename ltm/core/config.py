@@ -153,6 +153,16 @@ class RemovertConfig:
     knn_avg_sqdist_threshold: float = 0.01   # kScanKnnAndMapKnnAvgDiffThreshold (squared m)
     weak_to_strong_sqdist_threshold: float = 1.0  # Session.cpp:469
 
+    # grid-bucketed kNN (ltm.kernels.grid_knn): O(neighborhood) instead of
+    # O(map^2) — the multi-million-point-map path.  Distances clamp at
+    # grid_cell_size^2; decisions stay exact while
+    # grid_cell_size^2 >= num_knn_points * max(threshold) (2 m covers the
+    # defaults).  Brute force (default) is faster below ~1M-point maps.
+    use_grid_knn: bool = False
+    grid_cell_size: float = 2.0
+    grid_n_cells: int = 1 << 19
+    grid_cell_capacity: int = 64
+
     # extrinsic lidar->base (row-major 4x4)
     extrinsic_lidar_to_base: Tuple[float, ...] = (
         1.0, 0.0, 0.0, 0.0,

@@ -94,11 +94,15 @@ def knn_avg_sqdist(query_xyz, query_mask, target_xyz, target_mask, k: int = 2, t
     On TPU with k=2 this dispatches to the fused Pallas kernel
     (``ltm.kernels.pallas_knn``, ~5x the XLA scan)."""
     if use_pallas is None:
-        use_pallas = k == 2 and jax.default_backend() in ("tpu", "axon")
+        # cap the Pallas path at ~2M targets: Mosaic compile time grows with
+        # the target grid length (measured ~9 min at 4M) while the XLA scan
+        # matches its runtime there anyway
+        use_pallas = (k == 2 and jax.default_backend() in ("tpu", "axon")
+                      and target_xyz.shape[0] <= (1 << 21))
     if use_pallas and k == 2:
         from ltm.kernels.pallas_knn import knn2_sqdists_pallas
 
-        d = knn2_sqdists_pallas(query_xyz, query_mask, target_xyz, target_mask)
+        d = knn2_sqdists_pallas(query_xyz, query_mask, target_xyz, target_mask, bt=2048)
         return jnp.mean(d, axis=-1)
     d = knn_sqdists(query_xyz, query_mask, target_xyz, target_mask, k=k, tile=tile)
     return jnp.mean(d, axis=-1)

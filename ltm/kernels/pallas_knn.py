@@ -4,8 +4,14 @@ The XLA formulation (``ltm.kernels.knn.knn_sqdists``) streams target tiles
 through a ``lax.scan`` whose per-tile (N, tile) distance block and top-k
 merge round-trip through HBM between fusions.  This kernel keeps everything
 on-chip: each grid step computes one (BQ, BT) distance block on the MXU from
-VMEM-resident point tiles and folds it into a (BQ, 2) running minimum that
-never leaves VMEM until the grid finishes.
+VMEM-resident point tiles and folds it into a running minimum that never
+leaves VMEM until the grid finishes.
+
+Memory layout matters at map scale: point arrays are passed TRANSPOSED as
+(8, N) — an (N, 8) layout gets (8, 128)-tiled by XLA with 16x lane padding
+(~4 GB of pure padding for a 4M-point map, an HBM OOM in production).  The
+(8, N) layout tiles with zero waste.  Validity is encoded as a sentinel
+coordinate (1e12) instead of a separate mask input.
 
 Grid: (num_query_blocks, num_target_blocks); the target dimension iterates
 fastest and revisits the same output block, which is safe on TPU's
@@ -24,9 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["knn2_sqdists_pallas"]
 
 _BIG = 1e30
+_SENTINEL = 1e12  # invalid-point coordinate: distances ~1e24 dominate everything
 
 
-def _kernel(q_ref, t_ref, tmask_ref, out_ref, idx_ref):
+def _kernel(qt_ref, tt_ref, out_ref, idx_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -34,19 +41,18 @@ def _kernel(q_ref, t_ref, tmask_ref, out_ref, idx_ref):
         out_ref[:, :] = jnp.full(out_ref.shape, _BIG, jnp.float32)
         idx_ref[:, :] = jnp.zeros(idx_ref.shape, jnp.int32)
 
-    q = q_ref[:, :]                      # (BQ, 8) — xyz zero-padded to 8
-    t = t_ref[:, :]                      # (BT, 8)
-    q2 = jnp.sum(q * q, axis=1)          # (BQ,)
-    t2 = jnp.sum(t * t, axis=1)          # (BT,)
-    # f32 matmul (HIGHEST) selects candidates; their distances are recomputed
-    # exactly afterwards, so only selection-order accuracy matters here.
+    qt = qt_ref[:, :]                    # (8, BQ) — xyz rows 0..2, zeros 3..7
+    tt = tt_ref[:, :]                    # (8, BT)
+    q2 = jnp.sum(qt * qt, axis=0)        # (BQ,)
+    t2 = jnp.sum(tt * tt, axis=0)        # (BT,)
+    # f32 matmul (HIGHEST) only SELECTS candidates; distances are recomputed
+    # exactly afterwards, so selection-order accuracy is all that matters.
     cross = jax.lax.dot_general(
-        q, t.T, dimension_numbers=(((1,), (0,)), ((), ())),
+        qt, tt, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
+    )                                    # (BQ, BT)
     d2 = q2[:, None] + t2[None, :] - 2.0 * cross
     d2 = jnp.maximum(d2, 0.0)
-    d2 = jnp.where(tmask_ref[:, :] != 0, d2, _BIG)   # (1, BT) broadcast
 
     # fused value+index min: for non-negative floats the IEEE bit pattern is
     # order-preserving as int32, so pack the lane index into the low 11
@@ -66,10 +72,10 @@ def _kernel(q_ref, t_ref, tmask_ref, out_ref, idx_ref):
     am1 = col1 + base
     am2 = (p2 & 0x7FF)[:, 0] + base
 
-    a = out_ref[:, 0]
-    b = out_ref[:, 1]
-    ia = idx_ref[:, 0]
-    ib = idx_ref[:, 1]
+    a = out_ref[0, :]
+    b = out_ref[1, :]
+    ia = idx_ref[0, :]
+    ib = idx_ref[1, :]
     # merge sorted pairs (a<=b, m1<=m2) keeping indices aligned
     take1 = m1 < a
     n1 = jnp.where(take1, m1, a)
@@ -79,10 +85,10 @@ def _kernel(q_ref, t_ref, tmask_ref, out_ref, idx_ref):
     use_mid = mid < jnp.where(take1, m2, b)
     n2 = jnp.where(use_mid, mid, jnp.where(take1, m2, b))
     i2 = jnp.where(use_mid, imid, jnp.where(take1, am2, ib))
-    out_ref[:, 0] = n1
-    out_ref[:, 1] = n2
-    idx_ref[:, 0] = i1
-    idx_ref[:, 1] = i2
+    out_ref[0, :] = n1
+    out_ref[1, :] = n2
+    idx_ref[0, :] = i1
+    idx_ref[1, :] = i2
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bt", "interpret"))
@@ -107,39 +113,41 @@ def knn2_sqdists_pallas(
     query_c = query_xyz - center
     target_c = target_xyz - center
 
-    def pad8(x, rows):
-        x = jnp.pad(x, ((0, rows), (0, 8 - x.shape[1])))
-        return x.astype(jnp.float32)
+    def to_t8(x, mask, rows):
+        # (N, 3) -> (8, N+pad) transposed, invalid points -> sentinel coords
+        x = jnp.where(mask[:, None], x, _SENTINEL).astype(jnp.float32)
+        xt = jnp.pad(x.T, ((0, 5), (0, rows)), constant_values=_SENTINEL)
+        # zero the 5 extra coordinate rows (sentinel only via xyz rows)
+        return xt.at[3:, :].set(0.0)
 
-    q = pad8(query_c, n_pad)
-    t = pad8(target_c, m_pad)
-    tm = jnp.pad(target_mask.astype(jnp.int32), (0, m_pad)).reshape(1, -1)
+    qt = to_t8(query_c, query_mask, n_pad)
+    tt = to_t8(target_c, target_mask, m_pad)
 
     _, idx = pl.pallas_call(
         _kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((q.shape[0], 2), jnp.float32),
-            jax.ShapeDtypeStruct((q.shape[0], 2), jnp.int32),
+            jax.ShapeDtypeStruct((2, qt.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((2, qt.shape[1]), jnp.int32),
         ),
-        grid=(q.shape[0] // bq, t.shape[0] // bt),
+        grid=(qt.shape[1] // bq, tt.shape[1] // bt),
         in_specs=[
-            pl.BlockSpec((bq, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bt), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((bq, 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bq, 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, bq), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(q, t, tm)
+    )(qt, tt)
 
     # exact refinement: the matmul trick |q|²+|t|²-2q·t loses ~|x|²·eps of
     # precision; recompute the 2 selected distances as (q-t)² (exact in f32)
-    idx = idx[:n]
-    sel = t[idx.reshape(-1)].reshape(n, 2, 8)
-    diff = query_c[:, None, :] - sel[..., :3]
+    idx = idx.T[:n]                                          # (n, 2)
+    idx_c = jnp.clip(idx, 0, m - 1)
+    sel = target_c[idx_c.reshape(-1)].reshape(n, 2, 3)
+    diff = query_c[:, None, :] - sel
     d_exact = jnp.sum(diff * diff, axis=-1)
-    sel_valid = target_mask[jnp.clip(idx, 0, m - 1)] & (idx < m)
+    sel_valid = target_mask[idx_c] & (idx < m)
     d_exact = jnp.where(sel_valid, d_exact, _BIG)
     return jnp.where(query_mask[:, None], jnp.sort(d_exact, axis=1), _BIG)

@@ -264,10 +264,7 @@ class Removerter:
         """
         cfg = self.cfg
         eligible = sess.masks["static"] & sess.masks["proj_static"]
-        d = chunked_knn_avg_sqdist(
-            sess.map_xyz, eligible, other.map_xyz, other.masks["static"],
-            k=cfg.num_knn_points, tile=8192, query_chunk=16384,
-        )
+        d = self._knn_stat(sess.map_xyz, eligible, other.map_xyz, other.masks["static"])
         close = d < cfg.knn_avg_sqdist_threshold
         coexist = eligible & close
         diff = eligible & ~close
@@ -302,6 +299,37 @@ class Removerter:
             cur = cur & ~flagged
         return cur, weak
 
+    def _knn_stat(self, query_xyz, query_mask, target_xyz, target_mask):
+        """avg-of-k nearest squared distances; grid-bucketed path for
+        multi-million-point maps (exact for this pipeline's thresholds as
+        long as grid_cell_size² >= k·threshold — see kernels/grid_knn.py)."""
+        cfg = self.cfg
+        if cfg.use_grid_knn:
+            from ltm.kernels.grid_knn import build_grid_buckets, grid_knn2_sqdists
+
+            max_t = max(cfg.knn_avg_sqdist_threshold, cfg.weak_to_strong_sqdist_threshold)
+            if cfg.grid_cell_size ** 2 < cfg.num_knn_points * max_t:
+                raise ValueError(
+                    f"grid_cell_size²={cfg.grid_cell_size**2} < k·max_threshold="
+                    f"{cfg.num_knn_points * max_t}: grid kNN decisions would be inexact"
+                )
+            qg, o1 = build_grid_buckets(query_xyz, query_mask, cfg.grid_cell_size,
+                                        cfg.grid_n_cells, cfg.grid_cell_capacity)
+            tg, o2 = build_grid_buckets(target_xyz, target_mask, cfg.grid_cell_size,
+                                        cfg.grid_n_cells, cfg.grid_cell_capacity)
+            if int(o1) or int(o2):
+                raise ValueError(
+                    f"grid kNN overflow (query {int(o1)}, target {int(o2)} pts dropped); "
+                    f"raise grid_n_cells ({cfg.grid_n_cells}) or grid_cell_capacity "
+                    f"({cfg.grid_cell_capacity})"
+                )
+            d = grid_knn2_sqdists(qg, tg, num_queries=query_xyz.shape[0], k=cfg.num_knn_points)
+            return jnp.mean(d, axis=-1)
+        return chunked_knn_avg_sqdist(
+            query_xyz, query_mask, target_xyz, target_mask,
+            k=cfg.num_knn_points, tile=8192, query_chunk=16384,
+        )
+
     def _propagate_weak_to_strong(self, sess: RemovertSession, strong, weak):
         """``removeWeakNDMapPointsHavingStrongNDInNear``
         (``Session.cpp:452-484``): weak points whose 2-NN average squared
@@ -309,10 +337,7 @@ class Removerter:
         cfg = self.cfg
         if not bool(strong.any()):
             return strong, weak
-        d = chunked_knn_avg_sqdist(
-            sess.map_xyz, weak, sess.map_xyz, strong,
-            k=cfg.num_knn_points, tile=8192, query_chunk=16384,
-        )
+        d = self._knn_stat(sess.map_xyz, weak, sess.map_xyz, strong)
         promote = weak & (d < cfg.weak_to_strong_sqdist_threshold)
         return strong | promote, weak & ~promote
 

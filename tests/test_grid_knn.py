@@ -52,3 +52,27 @@ def test_grid_knn_threshold_decisions_exact(rng):
     # avg-of-2 decisions are exact for t <= cell_size^2 / 2
     for thres in (0.01, 0.04, 0.25, 0.49):
         np.testing.assert_array_equal(got < thres, ref < thres)
+
+
+def test_pipeline_knn_stat_paths_agree(rng):
+    """Brute-force and grid paths of Removerter._knn_stat make identical
+    threshold decisions."""
+    import jax
+
+    from ltm.core.config import RemovertConfig
+    from ltm.removert.pipeline import Removerter
+
+    q = rng.uniform(-10, 10, size=(3000, 3)).astype(np.float32)
+    t = (q[:2500] + rng.normal(scale=0.1, size=(2500, 3))).astype(np.float32)
+    qm = jnp.asarray(rng.uniform(size=3000) > 0.05)
+    tm = jnp.ones(2500, bool)
+
+    cfg = RemovertConfig()
+    cfg.grid_n_cells = 8192
+    cfg.grid_cell_capacity = 64
+    rm = Removerter(cfg)
+    d_brute = np.asarray(rm._knn_stat(jnp.asarray(q), qm, jnp.asarray(t), tm))
+    cfg.use_grid_knn = True
+    d_grid = np.asarray(rm._knn_stat(jnp.asarray(q), qm, jnp.asarray(t), tm))
+    for thres in (cfg.knn_avg_sqdist_threshold, 0.04, cfg.weak_to_strong_sqdist_threshold):
+        np.testing.assert_array_equal(d_grid < thres, d_brute < thres)

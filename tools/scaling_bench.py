@@ -55,20 +55,24 @@ def main() -> None:
     counts = [c for c in counts if c <= len(devices)]
     rng = np.random.default_rng(0)
 
-    fov, shape = (50.0, 360.0), (125, 900)
-    n_map, n_scan = 1 << 20, 1 << 15
-    K = 32
+    on_cpu = jax.default_backend() == "cpu"
+    # CPU smoke sizes keep the virtual-mesh validation under a minute; real
+    # accelerators get production shapes
+    fov = (50.0, 360.0)
+    shape = (25, 180) if on_cpu else (125, 900)
+    n_map, n_scan = (1 << 16, 1 << 12) if on_cpu else (1 << 20, 1 << 15)
+    K = 16 if on_cpu else 32
     map_xyz = jnp.asarray(rng.normal(size=(n_map, 3)).astype(np.float32) * 40)
     map_mask = jnp.ones((n_map,), bool)
     scans = jnp.asarray(rng.normal(size=(K, n_scan, 3)).astype(np.float32) * 40)
     smask = jnp.ones((K, n_scan), bool)
     pose_inv = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4))
 
-    nq, nt = 1 << 17, 1 << 18
+    nq, nt = (1 << 13, 1 << 14) if on_cpu else (1 << 17, 1 << 18)
     q = jnp.asarray(rng.normal(size=(nq, 3)).astype(np.float32) * 30)
     t = jnp.asarray(rng.normal(size=(nt, 3)).astype(np.float32) * 30)
 
-    n_nodes = 256
+    n_nodes = 64 if on_cpu else 256
     poses0 = np.tile(np.eye(4, dtype=np.float32), (n_nodes, 1, 1))
     poses0[:, 0, 3] = np.arange(n_nodes) + rng.normal(scale=0.05, size=n_nodes)
     fixed = np.zeros(n_nodes, bool)
