@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     ap.add_argument("--removert-config", help="optional YAML for RemovertConfig")
     args = ap.parse_args(argv)
 
+    from ltm.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     slam_cfg = load_yaml(args.ltslam_config, "ltslam") if args.ltslam_config else LTSlamConfig()
     rm_cfg = load_yaml(args.removert_config, "removert") if args.removert_config else RemovertConfig()
 

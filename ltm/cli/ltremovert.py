@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out")
     args = ap.parse_args(argv)
 
+    from ltm.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     cfg = load_yaml(args.config, "removert") if args.config else RemovertConfig()
     if args.central_scans:
         cfg.central_sess_scan_dir = args.central_scans

@@ -31,6 +31,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out", help="override save_directory")
     args = ap.parse_args(argv)
 
+    from ltm.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     cfg = load_yaml(args.config, "ltslam") if args.config else LTSlamConfig()
     if args.sessions_dir:
         cfg.sessions_dir = args.sessions_dir
