@@ -163,6 +163,23 @@ class RemovertConfig:
     grid_n_cells: int = 1 << 19
     grid_cell_capacity: int = 64
 
+    # chunked block kNN (ltm.kernels.chunk_knn): occupancy-adaptive fast path
+    # for multi-million-point maps — Morton-sorted query chunks score against
+    # block-culled neighborhoods of a kNN-grained block map built per target
+    # subset.  Distances clamp at sqrt(num_knn_points·max(threshold)) so
+    # every pipeline decision stays exact (see kernels/chunk_knn.py); chunks
+    # whose neighborhood overflows k_blocks are re-run with brute force
+    # (exactness never depends on the tuning constants).  Engages when the
+    # padded target map is at least chunk_knn_min_targets.
+    use_chunk_knn: bool = True
+    chunk_knn_min_targets: int = 1 << 17
+    chunk_knn_chunk: int = 256
+    chunk_knn_k_blocks: int = 384
+    chunk_knn_block_cell: float = 12.5
+    chunk_knn_block_capacity: int = 128
+    chunk_knn_block_slack: int = 4
+    chunk_knn_sort_cell: float = 4.0
+
     # extrinsic lidar->base (row-major 4x4)
     extrinsic_lidar_to_base: Tuple[float, ...] = (
         1.0, 0.0, 0.0, 0.0,

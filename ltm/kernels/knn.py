@@ -31,7 +31,21 @@ def _pad_axis(a, size, axis, value=0.0):
     return jnp.pad(a, widths, constant_values=value)
 
 
-@partial(jax.jit, static_argnames=("k", "tile"))
+def _bbox_mid(xyz: jax.Array, mask: jax.Array) -> jax.Array:
+    """Midpoint of the masked bounding box (0 where no valid points).
+
+    Squared distances are translation-invariant, but the |q|²+|t|²-2q·t
+    candidate search carries ~|coord|²·eps of cancellation error — at
+    map coordinates (km) that is ~0.5 m², enough to select the WRONG
+    nearest neighbours (no after-the-fact refinement recovers them).
+    Centering at the bbox midpoint minimizes the post-shift extent.
+    """
+    lo = jnp.min(jnp.where(mask[:, None], xyz, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(mask[:, None], xyz, -jnp.inf), axis=0)
+    return jnp.where(jnp.isfinite(lo), 0.5 * (lo + hi), 0.0)
+
+
+@partial(jax.jit, static_argnames=("k", "tile", "refine"))
 def knn_sqdists(
     query_xyz: jax.Array,   # (N, 3)
     query_mask: jax.Array,  # (N,)
@@ -39,50 +53,61 @@ def knn_sqdists(
     target_mask: jax.Array, # (M,)
     k: int = 2,
     tile: int = 8192,
+    refine: int = 16,
 ) -> jax.Array:
     """Squared distances to the k nearest valid targets, (N, k) ascending.
+
+    Selection runs on bbox-centered matmul distances with a top-max(k,refine)
+    slack carried through the tile scan; the kept candidates are re-scored
+    exactly as (q-t)² (error-free in f32 for nearby points, Sterbenz) and the
+    k smallest exact values returned.  The slack makes mis-selection require
+    ``refine`` distinct targets inside the residual-error band ahead of a
+    true neighbour — vanishingly unlikely at survey-map densities.
 
     Invalid queries get _BIG rows; fewer than k valid targets pads with _BIG.
     """
     n = query_xyz.shape[0]
     m = target_xyz.shape[0]
+    k_run = max(k, min(refine, m))
+    mid = _bbox_mid(target_xyz, target_mask)
+    q_c = query_xyz - mid
+    t_c = target_xyz - mid
     m_pad = ((m + tile - 1) // tile) * tile
-    t_xyz = _pad_axis(target_xyz, m_pad, 0)
+    t_xyz = _pad_axis(t_c, m_pad, 0)
     t_mask = _pad_axis(target_mask, m_pad, 0, value=False)
     t_xyz = t_xyz.reshape(m_pad // tile, tile, 3)
     t_mask = t_mask.reshape(m_pad // tile, tile)
 
-    q2 = jnp.sum(query_xyz * query_xyz, axis=-1)  # (N,)
+    q2 = jnp.sum(q_c * q_c, axis=-1)  # (N,)
 
     def body(carry, inp):
         best_d, best_i = carry
         tile_no, txyz, tmask = inp
         t2 = jnp.sum(txyz * txyz, axis=-1)
-        cross = jnp.dot(query_xyz, txyz.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        cross = jnp.dot(q_c, txyz.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         d2 = q2[:, None] + t2[None, :] - 2.0 * cross
         d2 = jnp.where(tmask[None, :], jnp.maximum(d2, 0.0), _BIG)
-        # merge running best (N, k) with tile candidates (N, tile)
+        # merge running best (N, k_run) with tile candidates (N, tile)
         merged = jnp.concatenate([best_d, d2], axis=1)
         tile_ids = jnp.broadcast_to(
             tile_no * tile + jnp.arange(tile, dtype=jnp.int32)[None, :], d2.shape
         )
         merged_i = jnp.concatenate([best_i, tile_ids], axis=1)
-        neg_top, pos = jax.lax.top_k(-merged, k)
+        neg_top, pos = jax.lax.top_k(-merged, k_run)
         new_i = jnp.take_along_axis(merged_i, pos, axis=1)
         return (-neg_top, new_i), None
 
-    init = (jnp.full((n, k), _BIG, jnp.float32), jnp.zeros((n, k), jnp.int32))
+    init = (jnp.full((n, k_run), _BIG, jnp.float32), jnp.zeros((n, k_run), jnp.int32))
     (best, best_i), _ = jax.lax.scan(
         body, init, (jnp.arange(m_pad // tile, dtype=jnp.int32), t_xyz, t_mask)
     )
-    # exact refinement of the selected candidates: (q - t)² is exact in f32,
-    # the matmul form loses ~|x|²·eps (material vs 0.01 m² thresholds)
-    sel = target_xyz[jnp.clip(best_i, 0, m - 1)]            # (N, k, 3)
-    diff = query_xyz[:, None, :] - sel
+    # exact re-score of all k_run kept candidates, then exact top-k
+    sel = t_c[jnp.clip(best_i, 0, m - 1)]                   # (N, k_run, 3)
+    diff = q_c[:, None, :] - sel
     d_exact = jnp.sum(diff * diff, axis=-1)
     sel_valid = target_mask[jnp.clip(best_i, 0, m - 1)] & (best_i < m) & (best < _BIG)
     d_exact = jnp.where(sel_valid, d_exact, _BIG)
-    d_exact = jnp.sort(d_exact, axis=-1)
+    d_exact = jnp.sort(d_exact, axis=-1)[:, :k]
     return jnp.where(query_mask[:, None], d_exact, _BIG)
 
 
@@ -99,6 +124,20 @@ def knn_avg_sqdist(query_xyz, query_mask, target_xyz, target_mask, k: int = 2, t
         # matches its runtime there anyway
         use_pallas = (k == 2 and jax.default_backend() in ("tpu", "axon")
                       and target_xyz.shape[0] <= (1 << 21))
+        if use_pallas:
+            # precision gate: the Pallas kernel exactly re-scores only its
+            # top-2 matmul picks, so the centered coordinate extent must keep
+            # the ~extent²·eps selection error well below the decision
+            # thresholds; beyond ~256 m fall back to the slack-refined scan.
+            # Under tracing (shard_map/jit) the extent is unknowable at
+            # dispatch time — take the always-correct scan path.
+            if isinstance(target_xyz, jax.core.Tracer):
+                use_pallas = False
+            else:
+                mid = _bbox_mid(target_xyz, target_mask)
+                ext = jnp.max(jnp.abs(jnp.where(target_mask[:, None],
+                                                target_xyz - mid, 0.0)))
+                use_pallas = bool(ext <= 256.0)
     if use_pallas and k == 2:
         from ltm.kernels.pallas_knn import knn2_sqdists_pallas
 
@@ -143,6 +182,13 @@ def nn_sqdist_argmin(
     """
     n = query_xyz.shape[0]
     m = target_xyz.shape[0]
+    # bbox-centering bounds the matmul cancellation error (see _bbox_mid);
+    # top-1 selection noise that remains only perturbs which correspondence
+    # ICP uses — harmless to its fixed-point — and distances are re-scored
+    # exactly below so the fitness statistic is unaffected
+    mid = _bbox_mid(target_xyz, target_mask)
+    query_xyz = query_xyz - mid
+    target_xyz = target_xyz - mid
     m_pad = ((m + tile - 1) // tile) * tile
     t_xyz = _pad_axis(target_xyz, m_pad, 0).reshape(m_pad // tile, tile, 3)
     t_mask = _pad_axis(target_mask, m_pad, 0, value=False).reshape(m_pad // tile, tile)
@@ -164,5 +210,9 @@ def nn_sqdist_argmin(
     (best_d, best_i), _ = jax.lax.scan(
         body, init, (jnp.arange(m_pad // tile, dtype=jnp.int32), t_xyz, t_mask)
     )
+    # exact re-score of the selected correspondence
+    diff = query_xyz - target_xyz[jnp.clip(best_i, 0, m - 1)]
+    d_exact = jnp.sum(diff * diff, axis=-1)
+    best_d = jnp.where(best_d < _BIG, d_exact, _BIG)
     best_d = jnp.where(query_mask, best_d, _BIG)
     return best_d, best_i

@@ -32,6 +32,7 @@ from ltm.kernels.blocks import (
     block_sweep_discrepancy,
     block_sweep_discrepancy_projected,
     block_sweep_visibility,
+    build_block_map,
 )
 from ltm.kernels.knn import chunked_knn_avg_sqdist
 from ltm.kernels.projection import (
@@ -300,10 +301,19 @@ class Removerter:
         return cur, weak
 
     def _knn_stat(self, query_xyz, query_mask, target_xyz, target_mask):
-        """avg-of-k nearest squared distances; grid-bucketed path for
-        multi-million-point maps (exact for this pipeline's thresholds as
-        long as grid_cell_size² >= k·threshold — see kernels/grid_knn.py)."""
+        """avg-of-k nearest squared distances.
+
+        Three paths, all making identical threshold decisions:
+        chunked block kNN (occupancy-adaptive, the large-map default when the
+        target session is block-structured — kernels/chunk_knn.py), grid-
+        bucketed kNN (kernels/grid_knn.py, dense-occupancy opt-in), and tiled
+        brute force.  Clamped paths are exact for this pipeline's thresholds
+        because clamp² >= k·max(threshold) — see the kernel docstrings."""
         cfg = self.cfg
+        if cfg.use_chunk_knn and target_xyz.shape[0] >= cfg.chunk_knn_min_targets:
+            d = self._chunk_knn_stat(query_xyz, query_mask, target_xyz, target_mask)
+            if d is not None:
+                return d
         if cfg.use_grid_knn:
             from ltm.kernels.grid_knn import build_grid_buckets, grid_knn2_sqdists
 
@@ -329,6 +339,60 @@ class Removerter:
             query_xyz, query_mask, target_xyz, target_mask,
             k=cfg.num_knn_points, tile=8192, query_chunk=16384,
         )
+
+    def _chunk_knn_stat(self, query_xyz, query_mask, target_xyz, target_mask):
+        """Occupancy-adaptive chunked kNN statistic (kernels/chunk_knn.py).
+
+        Builds a kNN-grained block map of the target subset (finer than the
+        sweep blocks — a 1.4 m query radius wants ~12 m cells, not 25 m /
+        1024-point sweep blocks), runs the chunked kernel, then brute-forces
+        the queries of any chunk whose intersecting-block count overflowed
+        ``k_blocks`` (a few % of chunks on real geometry — Morton-seam and
+        map-edge chunks).  Decisions are exact at every pipeline threshold:
+        covered chunks by the clamp contract, overflowed chunks by brute
+        force.  Returns None if the block-map build overflows (degenerate
+        extents) so the caller falls through to brute force.
+        """
+        cfg = self.cfg
+        from ltm.kernels.chunk_knn import chunk_knn_sqdists
+
+        max_t = max(cfg.knn_avg_sqdist_threshold, cfg.weak_to_strong_sqdist_threshold)
+        clamp = float(np.sqrt(cfg.num_knn_points * max_t))
+        cap = cfg.chunk_knn_block_capacity
+        n_blocks = (target_xyz.shape[0] * cfg.chunk_knn_block_slack + cap - 1) // cap
+        kbm, ov = build_block_map(target_xyz, target_mask,
+                                  cfg.chunk_knn_block_cell, n_blocks, cap)
+        if int(ov) > 0:
+            log.warning("chunk kNN block build overflow (%d pts); brute fallback", int(ov))
+            return None
+        res = chunk_knn_sqdists(
+            query_xyz, query_mask, kbm, None, clamp,
+            k=cfg.num_knn_points, chunk=cfg.chunk_knn_chunk,
+            k_blocks=min(cfg.chunk_knn_k_blocks, int(kbm.num_blocks)),
+            sort_cell=cfg.chunk_knn_sort_cell,
+        )
+        d = jnp.mean(res.sqdists, axis=-1)
+        over = np.asarray(res.chunk_overflow)
+        bad = np.flatnonzero(over)
+        if bad.size:
+            n = query_xyz.shape[0]
+            ch = cfg.chunk_knn_chunk
+            pos = (bad[:, None] * ch + np.arange(ch)).ravel()
+            pos = pos[pos < n]
+            idx = np.asarray(res.order)[pos]
+            m = max(1024, 1 << int(np.ceil(np.log2(idx.size))))
+            idx_pad = np.zeros(m, np.int32)
+            idx_pad[: idx.size] = idx
+            idx_j = jnp.asarray(idx_pad)
+            sub_mask = jnp.asarray(np.arange(m) < idx.size) & query_mask[idx_j]
+            d_sub = chunked_knn_avg_sqdist(query_xyz[idx_j], sub_mask,
+                                           target_xyz, target_mask,
+                                           k=cfg.num_knn_points)
+            d_sub = jnp.minimum(d_sub, clamp * clamp)
+            d = d.at[idx_j].set(jnp.where(sub_mask, d_sub, d[idx_j]))
+            log.info("chunk kNN: %d/%d chunks brute-forced (%d queries)",
+                     bad.size, over.size, idx.size)
+        return d
 
     def _propagate_weak_to_strong(self, sess: RemovertSession, strong, weak):
         """``removeWeakNDMapPointsHavingStrongNDInNear``
@@ -402,8 +466,7 @@ class Removerter:
             moved = jnp.einsum("kij,ksj->ksi", R, sess.scans_xyz) + t[:, None, :]
             flat = moved.reshape(-1, 3)
             fmask = sess.scans_mask.reshape(-1)
-            d = chunked_knn_avg_sqdist(flat, fmask, sess.map_xyz, sess.masks["static"],
-                                       k=cfg.num_knn_points)
+            d = self._knn_stat(flat, fmask, sess.map_xyz, sess.masks["static"])
             dyn = fmask & (np.asarray(d) >= cfg.knn_avg_sqdist_threshold)
             pts = np.asarray(flat)[np.asarray(dyn)]
             if len(pts):
