@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from ltm.kernels.projection import discrepancy_mask, winner_mask
 
-__all__ = ["BlockMap", "build_block_map", "block_sweep_discrepancy", "block_sweep_visibility"]
+__all__ = ["BlockMap", "build_block_map", "build_block_map_with_slots",
+           "block_sweep_discrepancy", "block_sweep_visibility"]
 
 
 class BlockMap(NamedTuple):
@@ -59,18 +60,19 @@ class BlockMap(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("n_blocks", "block_capacity"))
-def build_block_map(
+def build_block_map_with_slots(
     xyz: jax.Array,          # (N, 3)
     mask: jax.Array,         # (N,)
     cell_size: float,
     n_blocks: int,
     block_capacity: int,
-) -> Tuple[BlockMap, jax.Array]:
+):
     """Group points into coarse-voxel blocks (one-time sort, amortized over
     every keyframe sweep).  Cells with more points than fit in the remaining
-    block budget spill into extra blocks.  Returns (BlockMap, overflow_count)
-    — overflow_count > 0 means capacity was insufficient and points were
-    dropped (callers should size n_blocks * block_capacity >= N).
+    block budget spill into extra blocks.  Returns (BlockMap, overflow_count,
+    slots) — overflow_count > 0 means capacity was insufficient and points
+    were dropped (callers should size n_blocks * block_capacity >= N); slots
+    maps each input index to its flat position in the blocked layout.
     """
     n = xyz.shape[0]
     coords = jnp.floor(xyz / cell_size).astype(jnp.int32)
@@ -108,7 +110,27 @@ def build_block_map(
     centers = jnp.sum(jnp.where(bmask[..., None], bxyz, 0.0), axis=1) / jnp.maximum(cnt, 1)[:, None]
     d = jnp.linalg.norm(bxyz - centers[:, None, :], axis=-1)
     radius = jnp.max(jnp.where(bmask, d, 0.0), axis=1)
-    return BlockMap(bxyz, bmask, centers, radius, cnt > 0), overflow
+    bm = BlockMap(bxyz, bmask, centers, radius, cnt > 0)
+    # original-index -> flat block slot (n_blocks*cap sentinel for dropped /
+    # invalid points): lets callers rebuild ONE block layout per map and
+    # restrict the target subset per query via a boolean scatter (the
+    # chunk-kNN target_extra contract) instead of re-blocking per subset
+    slots = jnp.full((n,), n_blocks * block_capacity, jnp.int32)
+    slots = slots.at[order].set(flat_idx.astype(jnp.int32))
+    return bm, overflow, slots
+
+
+@partial(jax.jit, static_argnames=("n_blocks", "block_capacity"))
+def build_block_map(
+    xyz: jax.Array,
+    mask: jax.Array,
+    cell_size: float,
+    n_blocks: int,
+    block_capacity: int,
+) -> Tuple[BlockMap, jax.Array]:
+    """(BlockMap, overflow_count) — see ``build_block_map_with_slots``."""
+    bm, overflow, _ = build_block_map_with_slots(xyz, mask, cell_size, n_blocks, block_capacity)
+    return bm, overflow
 
 
 def _select_blocks(bm: BlockMap, origin: jax.Array, max_range: float, k_blocks: int):

@@ -71,7 +71,8 @@ def _spread3(v: jax.Array) -> jax.Array:
     return v
 
 
-@partial(jax.jit, static_argnames=("clamp_radius", "k", "chunk", "k_blocks", "sort_cell"))
+@partial(jax.jit, static_argnames=("clamp_radius", "k", "chunk", "k_blocks",
+                                   "sort_cell"))
 def chunk_knn_sqdists(
     query_xyz: jax.Array,        # (N, 3)
     query_mask: jax.Array,       # (N,)
@@ -152,8 +153,20 @@ def chunk_knn_sqdists(
         diff = qc[:, None, :] - cand[None, :, :]
         d2 = jnp.sum(diff * diff, axis=-1)
         d2 = jnp.where(cmask[None, :], d2, _BIG)
-        neg2, _ = jax.lax.top_k(-d2, k)
-        exact = jnp.sort(-neg2, axis=-1)
+        # k-fold argmin extraction, NOT lax.top_k: top_k over the wide
+        # (chunk, k_blocks·cap) candidate axis sorts far more than the k=2
+        # winners we need (measured 1.4x whole-kernel win); argmin one-hot
+        # masking keeps exact tie semantics (removes one instance per round)
+        outs = []
+        for _i in range(k):
+            mn = jnp.min(d2, axis=1)
+            outs.append(mn)
+            if _i + 1 < k:
+                am = jnp.argmin(d2, axis=1)
+                d2 = jnp.where(
+                    jnp.arange(d2.shape[1])[None, :] == am[:, None], _BIG, d2
+                )
+        exact = jnp.stack(outs, axis=1)                   # (chunk, k) ascending
         exact = jnp.minimum(exact, r2)                    # clamp contract
         out = jnp.where(qmc[:, None], exact, _BIG)
         return None, (jnp.maximum(n_int - k_blocks, 0), out)

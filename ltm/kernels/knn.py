@@ -101,9 +101,15 @@ def knn_sqdists(
     (best, best_i), _ = jax.lax.scan(
         body, init, (jnp.arange(m_pad // tile, dtype=jnp.int32), t_xyz, t_mask)
     )
-    # exact re-score of all k_run kept candidates, then exact top-k
-    sel = t_c[jnp.clip(best_i, 0, m - 1)]                   # (N, k_run, 3)
-    diff = q_c[:, None, :] - sel
+    # exact re-score of all k_run kept candidates, then exact top-k.
+    # ORIGINAL coordinates, not centered: q_c/t_c each carry up to
+    # ~extent·eps of centering round-off, which perturbs d² by ~4e-5 at
+    # km-scale maps — enough to flip a decision sitting exactly on a
+    # threshold; (q - t) on the original coords is Sterbenz-exact for
+    # nearby points and bitwise-consistent with the direct-form kernels
+    # (chunk_knn, grid_knn), so every path agrees on borderline queries.
+    sel = target_xyz[jnp.clip(best_i, 0, m - 1)]            # (N, k_run, 3)
+    diff = query_xyz[:, None, :] - sel
     d_exact = jnp.sum(diff * diff, axis=-1)
     sel_valid = target_mask[jnp.clip(best_i, 0, m - 1)] & (best_i < m) & (best < _BIG)
     d_exact = jnp.where(sel_valid, d_exact, _BIG)
@@ -187,18 +193,18 @@ def nn_sqdist_argmin(
     # ICP uses — harmless to its fixed-point — and distances are re-scored
     # exactly below so the fitness statistic is unaffected
     mid = _bbox_mid(target_xyz, target_mask)
-    query_xyz = query_xyz - mid
-    target_xyz = target_xyz - mid
+    q_c = query_xyz - mid
+    t_c = target_xyz - mid
     m_pad = ((m + tile - 1) // tile) * tile
-    t_xyz = _pad_axis(target_xyz, m_pad, 0).reshape(m_pad // tile, tile, 3)
+    t_xyz = _pad_axis(t_c, m_pad, 0).reshape(m_pad // tile, tile, 3)
     t_mask = _pad_axis(target_mask, m_pad, 0, value=False).reshape(m_pad // tile, tile)
-    q2 = jnp.sum(query_xyz * query_xyz, axis=-1)
+    q2 = jnp.sum(q_c * q_c, axis=-1)
 
     def body(carry, inp):
         best_d, best_i = carry
         tile_idx, txyz, tmask = inp
         t2 = jnp.sum(txyz * txyz, axis=-1)
-        cross = jnp.dot(query_xyz, txyz.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        cross = jnp.dot(q_c, txyz.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
         d2 = q2[:, None] + t2[None, :] - 2.0 * cross
         d2 = jnp.where(tmask[None, :], jnp.maximum(d2, 0.0), _BIG)
         tile_min = jnp.min(d2, axis=1)
@@ -210,7 +216,8 @@ def nn_sqdist_argmin(
     (best_d, best_i), _ = jax.lax.scan(
         body, init, (jnp.arange(m_pad // tile, dtype=jnp.int32), t_xyz, t_mask)
     )
-    # exact re-score of the selected correspondence
+    # exact re-score of the selected correspondence (original coords:
+    # Sterbenz-exact for nearby points, no centering round-off)
     diff = query_xyz - target_xyz[jnp.clip(best_i, 0, m - 1)]
     d_exact = jnp.sum(diff * diff, axis=-1)
     best_d = jnp.where(best_d < _BIG, d_exact, _BIG)

@@ -32,7 +32,7 @@ from ltm.kernels.blocks import (
     block_sweep_discrepancy,
     block_sweep_discrepancy_projected,
     block_sweep_visibility,
-    build_block_map,
+    build_block_map_with_slots,
 )
 from ltm.kernels.knn import chunked_knn_avg_sqdist
 from ltm.kernels.projection import (
@@ -86,6 +86,8 @@ class RemovertResult:
 class Removerter:
     def __init__(self, cfg: Optional[RemovertConfig] = None):
         self.cfg = cfg or RemovertConfig()
+        # id-keyed (map_array, BlockMap, slots) — see _knn_block_map
+        self._kbm_cache: dict = {}
 
     # ------------------------------------------------------------------
     def run(self, central_inp: RemovertInput, query_inp: RemovertInput,
@@ -340,58 +342,115 @@ class Removerter:
             k=cfg.num_knn_points, tile=8192, query_chunk=16384,
         )
 
+    def _knn_block_map(self, target_xyz):
+        """kNN-grained block layout of a map, built ONCE per map object.
+
+        Finer than the sweep blocks (a ~1.4 m query radius wants ~12 m
+        cells, not 25 m / 1024-point blocks) and built over ALL map points;
+        per-call target subsets are applied through the chunk kernel's
+        ``target_extra`` mask using the returned original-index→slot map.
+        Cache is id-keyed with a strong reference to the map array (map
+        arrays are immutable and few per run).  Returns (None, None) if the
+        build overflows (degenerate extents) so callers fall back to brute.
+        """
+        cfg = self.cfg
+        cached = self._kbm_cache.get(id(target_xyz))
+        if cached is not None and cached[0] is target_xyz:
+            return cached[1], cached[2]
+        cap = cfg.chunk_knn_block_capacity
+        n_blocks = (target_xyz.shape[0] * cfg.chunk_knn_block_slack + cap - 1) // cap
+        full = jnp.ones((target_xyz.shape[0],), bool)
+        kbm, ov, slots = build_block_map_with_slots(
+            target_xyz, full, cfg.chunk_knn_block_cell, n_blocks, cap)
+        if int(ov) > 0:
+            log.warning("chunk kNN block build overflow (%d pts); brute fallback", int(ov))
+            kbm = slots = None
+        self._kbm_cache[id(target_xyz)] = (target_xyz, kbm, slots)
+        return kbm, slots
+
     def _chunk_knn_stat(self, query_xyz, query_mask, target_xyz, target_mask):
         """Occupancy-adaptive chunked kNN statistic (kernels/chunk_knn.py).
 
-        Builds a kNN-grained block map of the target subset (finer than the
-        sweep blocks — a 1.4 m query radius wants ~12 m cells, not 25 m /
-        1024-point sweep blocks), runs the chunked kernel, then brute-forces
-        the queries of any chunk whose intersecting-block count overflowed
-        ``k_blocks`` (a few % of chunks on real geometry — Morton-seam and
-        map-edge chunks).  Decisions are exact at every pipeline threshold:
-        covered chunks by the clamp contract, overflowed chunks by brute
-        force.  Returns None if the block-map build overflows (degenerate
-        extents) so the caller falls through to brute force.
+        Runs the chunked kernel against the cached per-map block layout;
+        chunks whose intersecting-block count overflowed ``k_blocks`` (map-
+        edge and Morton-seam chunks, a few % on real geometry) are re-run
+        with an 8× block budget, and only chunks that STILL overflow fall
+        back to brute force.  Decisions are exact at every pipeline
+        threshold: covered chunks by the clamp contract, overflowed chunks
+        by escalation/brute force.  Returns None if the block layout could
+        not be built so the caller falls through to brute force.
         """
         cfg = self.cfg
         from ltm.kernels.chunk_knn import chunk_knn_sqdists
 
+        kbm, slots = self._knn_block_map(target_xyz)
+        if kbm is None:
+            return None
         max_t = max(cfg.knn_avg_sqdist_threshold, cfg.weak_to_strong_sqdist_threshold)
         clamp = float(np.sqrt(cfg.num_knn_points * max_t))
-        cap = cfg.chunk_knn_block_capacity
-        n_blocks = (target_xyz.shape[0] * cfg.chunk_knn_block_slack + cap - 1) // cap
-        kbm, ov = build_block_map(target_xyz, target_mask,
-                                  cfg.chunk_knn_block_cell, n_blocks, cap)
-        if int(ov) > 0:
-            log.warning("chunk kNN block build overflow (%d pts); brute fallback", int(ov))
-            return None
+        # target subset in blocked layout (slot n_blocks*cap is the dropped-
+        # point sentinel; extra is sliced back to the kernel's flat size)
+        flat = kbm.num_blocks * kbm.block_capacity
+        extra = jnp.zeros((flat + 1,), bool).at[slots].set(target_mask)[:flat]
+
+        n_blocks = int(kbm.num_blocks)
+        kb = min(cfg.chunk_knn_k_blocks, n_blocks)
         res = chunk_knn_sqdists(
-            query_xyz, query_mask, kbm, None, clamp,
+            query_xyz, query_mask, kbm, extra, clamp,
             k=cfg.num_knn_points, chunk=cfg.chunk_knn_chunk,
-            k_blocks=min(cfg.chunk_knn_k_blocks, int(kbm.num_blocks)),
-            sort_cell=cfg.chunk_knn_sort_cell,
+            k_blocks=kb, sort_cell=cfg.chunk_knn_sort_cell,
         )
         d = jnp.mean(res.sqdists, axis=-1)
         over = np.asarray(res.chunk_overflow)
         bad = np.flatnonzero(over)
-        if bad.size:
-            n = query_xyz.shape[0]
-            ch = cfg.chunk_knn_chunk
-            pos = (bad[:, None] * ch + np.arange(ch)).ravel()
-            pos = pos[pos < n]
-            idx = np.asarray(res.order)[pos]
-            m = max(1024, 1 << int(np.ceil(np.log2(idx.size))))
+        if not bad.size:
+            return d
+
+        # original indices of the queries in overflowed chunks
+        ch = cfg.chunk_knn_chunk
+        pos = (bad[:, None] * ch + np.arange(ch)).ravel()
+        pos = pos[pos < query_xyz.shape[0]]
+        idx = np.asarray(res.order)[pos]
+
+        def _pad_subset(idx):
+            # pow-2 bucket keeps recompiles bounded
+            m = max(1024, 1 << int(np.ceil(np.log2(max(idx.size, 1)))))
             idx_pad = np.zeros(m, np.int32)
             idx_pad[: idx.size] = idx
             idx_j = jnp.asarray(idx_pad)
             sub_mask = jnp.asarray(np.arange(m) < idx.size) & query_mask[idx_j]
-            d_sub = chunked_knn_avg_sqdist(query_xyz[idx_j], sub_mask,
-                                           target_xyz, target_mask,
-                                           k=cfg.num_knn_points)
-            d_sub = jnp.minimum(d_sub, clamp * clamp)
+            return idx_j, sub_mask
+
+        kb2 = min(kb * 8, n_blocks)
+        if kb2 > kb:
+            idx_j, sub_mask = _pad_subset(idx)
+            res2 = chunk_knn_sqdists(
+                query_xyz[idx_j], sub_mask, kbm, extra, clamp,
+                k=cfg.num_knn_points, chunk=ch,
+                k_blocks=kb2, sort_cell=cfg.chunk_knn_sort_cell,
+            )
+            over2 = np.asarray(res2.chunk_overflow)
+            bad2 = np.flatnonzero(over2)
+            log.info("chunk kNN: %d/%d chunks escalated to k_blocks=%d "
+                     "(%d queries, %d chunks still over)",
+                     bad.size, over.size, kb2, idx.size, bad2.size)
+            d_sub = jnp.mean(res2.sqdists, axis=-1)
             d = d.at[idx_j].set(jnp.where(sub_mask, d_sub, d[idx_j]))
-            log.info("chunk kNN: %d/%d chunks brute-forced (%d queries)",
-                     bad.size, over.size, idx.size)
+            if not bad2.size:
+                return d
+            # invalid (padding) entries Morton-sort to the end, so sorted
+            # positions < idx.size are exactly the real queries
+            pos2 = (bad2[:, None] * ch + np.arange(ch)).ravel()
+            pos2 = pos2[pos2 < idx.size]
+            idx = np.asarray(idx_j)[np.asarray(res2.order)[pos2]]
+
+        idx_j, sub_mask = _pad_subset(idx)
+        d_sub = chunked_knn_avg_sqdist(query_xyz[idx_j], sub_mask,
+                                       target_xyz, target_mask,
+                                       k=cfg.num_knn_points)
+        d_sub = jnp.minimum(d_sub, clamp * clamp)
+        d = d.at[idx_j].set(jnp.where(sub_mask, d_sub, d[idx_j]))
+        log.info("chunk kNN: %d queries brute-forced", idx.size)
         return d
 
     def _propagate_weak_to_strong(self, sess: RemovertSession, strong, weak):

@@ -80,7 +80,8 @@ def test_chunk_knn_overflow_reported(rng):
     res = chunk_knn_sqdists(jnp.asarray(q), jnp.ones(512, bool), bm, None,
                             clamp_radius=2.0, chunk=512, k_blocks=4, sort_cell=1000.0)
     assert int(res.chunk_overflow.sum()) > 0
-    assert res.chunk_overflow.shape == (1,)
+    # one real chunk (rest are all-padding groups with zero overflow)
+    assert int((res.chunk_overflow > 0).sum()) == 1
 
 
 def test_pipeline_knn_stat_chunk_path_agrees(rng):

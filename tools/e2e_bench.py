@@ -1,0 +1,79 @@
+"""End-to-end Removert pipeline throughput at production scale (real TPU).
+
+BASELINE.json's north-star metric is keyframes/s of the FULL pipeline, not
+a single kernel.  This generates a two-session synthetic survey directly as
+arrays (no disk I/O — that is benchmarked separately by the native I/O
+layer), runs ``Removerter.run`` without artifact saving, and reports
+keyframes/s plus the per-stage breakdown that the pipeline's stage timers
+log.
+
+Usage: python -m tools.e2e_bench [n_keyframes pts_per_scan]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def synth_session(rng, n_kf, n_pts, traj=1200.0, lateral=45.0, phase=0.0):
+    """Scans along a corridor: ground + walls + clutter in the LOCAL frame of
+    each pose, plus per-session parked 'cars' so change detection has work."""
+    xs = np.linspace(60.0, traj - 60.0, n_kf)
+    poses = np.tile(np.eye(4, dtype=np.float64), (n_kf, 1, 1))
+    poses[:, 0, 3] = xs
+    poses[:, 1, 3] = 4.0 * np.sin(xs / 90.0 + phase)
+
+    scans = []
+    for k in range(n_kf):
+        ng = int(n_pts * 0.55)
+        nw = int(n_pts * 0.3)
+        nc = n_pts - ng - nw
+        g = np.stack([rng.uniform(-60, 60, ng), rng.uniform(-lateral, lateral, ng),
+                      rng.normal(-1.6, 0.03, ng)], 1)
+        side = rng.choice([-lateral, lateral], nw)
+        w = np.stack([rng.uniform(-60, 60, nw), side + rng.normal(0, 0.05, nw),
+                      rng.uniform(-1.5, 6.0, nw)], 1)
+        c = np.stack([rng.uniform(-55, 55, nc), rng.uniform(-lateral, lateral, nc),
+                      rng.uniform(-1.5, 2.0, nc)], 1)
+        pts = np.concatenate([g, w, c]).astype(np.float32)
+        scans.append(pts)
+    return scans, poses
+
+
+def main() -> None:
+    import jax
+
+    from ltm.core.config import RemovertConfig
+    from ltm.removert.pipeline import Removerter
+    from ltm.removert.session import RemovertInput
+
+    n_kf = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    n_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 120_000
+    rng = np.random.default_rng(0)
+
+    c_scans, c_poses = synth_session(rng, n_kf, n_pts, phase=0.0)
+    q_scans, q_poses = synth_session(rng, n_kf, n_pts, phase=0.25)
+    central = RemovertInput(scans=c_scans, poses=c_poses)
+    query = RemovertInput(scans=q_scans, poses=q_poses)
+
+    cfg = RemovertConfig()
+    cfg.downsample_voxel_size = 0.1  # production density at this synthetic scale
+    rm = Removerter(cfg)
+
+    t0 = time.perf_counter()
+    result = rm.run(central, query, save_directory=None)
+    jax.block_until_ready(result.masks["updated"])
+    dt = time.perf_counter() - t0
+
+    total_kf = result.central.num_keyframes + result.query.num_keyframes
+    n_map = int(np.asarray(result.central.map_mask).sum()) + int(
+        np.asarray(result.query.map_mask).sum())
+    print(f"\nmaps: {n_map} pts total | keyframes: {total_kf} | "
+          f"wall: {dt:.1f} s | {total_kf / dt:.2f} keyframes/s (full pipeline)")
+
+
+if __name__ == "__main__":
+    main()
