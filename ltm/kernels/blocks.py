@@ -218,6 +218,77 @@ def block_sweep_discrepancy_projected(
     return out.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("fov", "shape", "proj_shape", "k_blocks"))
+def block_projected_scan_images(
+    source_bm: BlockMap,
+    source_extra: jax.Array,     # flat mask restricting the source (static) set
+    pose_inv: jax.Array,         # (K, 4, 4)
+    poses: jax.Array,            # (K, 4, 4)
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+    proj_shape: Tuple[int, int],
+    k_blocks: int,
+    max_range: float = 200.0,
+) -> jax.Array:
+    """Block-local ``projected_scan_images``: (K, nrow*ncol) range images of
+    the projected static scans, identical block selection to
+    ``block_sweep_discrepancy_projected`` so the cached-image filter path
+    flags exactly the same points."""
+    from ltm.kernels.projection import range_image
+
+    s_extra = source_extra.reshape(source_bm.num_blocks, source_bm.block_capacity)
+
+    def body(_, inp):
+        Tinv, T = inp
+        ssel, sval = _select_blocks(source_bm, T[:3, 3], max_range, k_blocks)
+        s_xyz = source_bm.xyz[ssel].reshape(-1, 3)
+        s_mask = (source_bm.mask[ssel] & s_extra[ssel] & sval[:, None]).reshape(-1)
+        s_local = s_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        swin, *_ = winner_mask(s_local, s_mask, fov, proj_shape)
+        return None, range_image(s_local, swin, fov, shape)
+
+    _, imgs = jax.lax.scan(body, None, (pose_inv, poses))
+    return imgs
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "k_blocks", "reverse"))
+def block_sweep_discrepancy_vs_images(
+    target_bm: BlockMap,
+    target_extra: jax.Array,     # flat mask restricting the target (delta) set
+    scan_imgs: jax.Array,        # (K, nrow*ncol) from block_projected_scan_images
+    pose_inv: jax.Array,
+    poses: jax.Array,
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+    k_blocks: int,
+    max_range: float = 200.0,
+    diff_threshold: float = 0.1,
+    reverse: bool = False,
+) -> jax.Array:
+    """Target-side half of ``block_sweep_discrepancy_projected`` against
+    precomputed source images (the per-repeat cost of the strong-weak
+    filter)."""
+    from ltm.kernels.projection import discrepancy_vs_image
+
+    t_extra = target_extra.reshape(target_bm.num_blocks, target_bm.block_capacity)
+
+    def body(carry, inp):
+        Tinv, T, img = inp
+        tsel, tval = _select_blocks(target_bm, T[:3, 3], max_range, k_blocks)
+        t_xyz = target_bm.xyz[tsel].reshape(-1, 3)
+        t_mask = (target_bm.mask[tsel] & t_extra[tsel] & tval[:, None]).reshape(-1)
+        t_local = t_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        dyn = discrepancy_vs_image(
+            t_local, t_mask, img, fov, shape, diff_threshold, reverse
+        )
+        carry = carry.at[tsel].max(dyn.reshape(k_blocks, target_bm.block_capacity))
+        return carry, None
+
+    init = jnp.zeros((target_bm.num_blocks, target_bm.block_capacity), bool)
+    out, _ = jax.lax.scan(body, init, (pose_inv, poses, scan_imgs))
+    return out.reshape(-1)
+
+
 @partial(jax.jit, static_argnames=("fov", "shape", "k_blocks"))
 def block_sweep_visibility(
     bm: BlockMap,

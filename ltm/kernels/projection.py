@@ -33,7 +33,10 @@ __all__ = [
     "range_image",
     "winner_mask",
     "discrepancy_mask",
+    "discrepancy_vs_image",
+    "projected_scan_images",
     "sweep_discrepancy",
+    "sweep_discrepancy_vs_images",
     "sweep_visibility",
 ]
 
@@ -97,6 +100,31 @@ def winner_mask(xyz: jax.Array, mask: jax.Array, fov, shape, img: jax.Array | No
     return mask & (rng <= img[pix]), pix, rng, img
 
 
+def discrepancy_vs_image(
+    map_xyz_local: jax.Array,
+    map_mask: jax.Array,
+    scan_img: jax.Array,            # (nrow*ncol,) precomputed scan range image
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+    diff_threshold: float = 0.1,
+    reverse: bool = False,
+) -> jax.Array:
+    """Per-map-point dynamic mask against a PRECOMPUTED scan range image.
+
+    The map side of :func:`discrepancy_mask`, split out so repeated filter
+    passes (ND/PD strong-weak ×3) can reuse one set of per-keyframe scan
+    images instead of re-projecting the source session every pass.
+    """
+    pix, rng, map_img = _project_min(map_xyz_local, map_mask, fov, shape)
+    diff_img = (map_img - scan_img) if reverse else (scan_img - map_img)
+    flag_img = (diff_img > diff_threshold) & (diff_img < VALID_DIFF_UB)
+    # pack (min range, flag) so the per-point pass is a single gather
+    packed = jnp.where(flag_img, map_img, -map_img)
+    g = packed[pix]
+    win = map_mask & (rng <= jnp.abs(g))
+    return win & (g > 0)
+
+
 @partial(jax.jit, static_argnames=("fov", "shape", "reverse"))
 def discrepancy_mask(
     map_xyz_local: jax.Array,
@@ -120,15 +148,9 @@ def discrepancy_mask(
     all image-space work (diff, thresholds) is dense VPU arithmetic.
     """
     scan_img = range_image(scan_xyz, scan_mask, fov, shape)
-    pix, rng, map_img = _project_min(map_xyz_local, map_mask, fov, shape)
-
-    diff_img = (map_img - scan_img) if reverse else (scan_img - map_img)
-    flag_img = (diff_img > diff_threshold) & (diff_img < VALID_DIFF_UB)
-    # pack (min range, flag) so the per-point pass is a single gather
-    packed = jnp.where(flag_img, map_img, -map_img)
-    g = packed[pix]
-    win = map_mask & (rng <= jnp.abs(g))
-    return win & (g > 0)
+    return discrepancy_vs_image(
+        map_xyz_local, map_mask, scan_img, fov, shape, diff_threshold, reverse
+    )
 
 
 @partial(jax.jit, static_argnames=("fov", "shape", "reverse"))
@@ -157,6 +179,60 @@ def sweep_discrepancy(
 
     init = jnp.zeros(map_xyz_global.shape[:-1], bool)
     out, _ = jax.lax.scan(body, init, (scans_xyz, scans_mask, pose_inv))
+    return out
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "proj_shape"))
+def projected_scan_images(
+    source_xyz: jax.Array,          # (M, 3) global
+    source_mask: jax.Array,         # (M,)
+    pose_inv: jax.Array,            # (K, 4, 4)
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],         # image resolution for the diff pass
+    proj_shape: Tuple[int, int],    # winner (reprojection) resolution, α=3
+) -> jax.Array:
+    """(K, nrow*ncol) range images of the projected static scans.
+
+    Per keyframe: source points that win their pixel at ``proj_shape`` form
+    the projected scan (``parseScansViaProjection``), scattered-min into an
+    image at ``shape``.  Computed ONCE and reused by every strong-weak
+    filter repeat via :func:`sweep_discrepancy_vs_images` — the source-side
+    transform + two scatters are the dominant cost of the filter stage.
+    """
+
+    def body(_, Tinv):
+        src_local = source_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        swin, *_ = winner_mask(src_local, source_mask, fov, proj_shape)
+        return None, range_image(src_local, swin, fov, shape)
+
+    _, imgs = jax.lax.scan(body, None, pose_inv)
+    return imgs
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "reverse"))
+def sweep_discrepancy_vs_images(
+    target_xyz: jax.Array,          # (N, 3) global
+    target_mask: jax.Array,
+    scan_imgs: jax.Array,           # (K, nrow*ncol) from projected_scan_images
+    pose_inv: jax.Array,            # (K, 4, 4)
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+    diff_threshold: float = 0.1,
+    reverse: bool = False,
+) -> jax.Array:
+    """OR over keyframes of :func:`discrepancy_vs_image` — the per-repeat
+    half of :func:`sweep_discrepancy_projected` (target side only)."""
+
+    def body(carry, inp):
+        img, Tinv = inp
+        tgt_local = target_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        dyn = discrepancy_vs_image(
+            tgt_local, target_mask, img, fov, shape, diff_threshold, reverse
+        )
+        return carry | dyn, None
+
+    init = jnp.zeros(target_xyz.shape[:-1], bool)
+    out, _ = jax.lax.scan(body, init, (scan_imgs, pose_inv))
     return out
 
 

@@ -29,16 +29,18 @@ import numpy as np
 
 from ltm.core.config import RemovertConfig
 from ltm.kernels.blocks import (
+    block_projected_scan_images,
     block_sweep_discrepancy,
-    block_sweep_discrepancy_projected,
+    block_sweep_discrepancy_vs_images,
     block_sweep_visibility,
     build_block_map_with_slots,
 )
 from ltm.kernels.knn import chunked_knn_avg_sqdist
 from ltm.kernels.projection import (
+    projected_scan_images,
     rimg_shape,
     sweep_discrepancy,
-    sweep_discrepancy_projected,
+    sweep_discrepancy_vs_images,
     sweep_visibility,
     winner_mask,
 )
@@ -116,16 +118,20 @@ class Removerter:
         with stage_timer("removert.project_static", log):
             proj_shape = rimg_shape(fov, cfg.reprojection_alpha)
             for sess in (central, query):
+                # slice to real keyframes: padded pose entries are identity
+                # matrices, i.e. a phantom viewpoint at the global origin
+                K = sess.num_keyframes
                 if sess.bm is not None:
                     sess.masks["proj_static"] = block_sweep_visibility(
                         sess.bm, sess.masks["static"],
-                        sess.poses_inv, sess.poses, fov, proj_shape,
+                        sess.poses_inv[:K], sess.poses[:K], fov, proj_shape,
                         k_blocks=min(cfg.k_blocks, sess.bm.num_blocks),
                         max_range=cfg.block_max_range,
                     )
                 else:
                     sess.masks["proj_static"] = sweep_visibility(
-                        sess.map_xyz, sess.masks["static"], sess.poses_inv, fov, proj_shape
+                        sess.map_xyz, sess.masks["static"], sess.poses_inv[:K],
+                        fov, proj_shape
                     )
 
         # ---------------- Step 2: low-dynamic change detection ------------
@@ -200,17 +206,19 @@ class Removerter:
 
     def _sweep(self, sess: RemovertSession, mask, fov, res):
         shape = rimg_shape(fov, res)
+        K = sess.num_keyframes  # padded keyframes are masked but not free
         if sess.bm is not None:
             bm = sess.bm._replace(mask=mask.reshape(sess.bm.mask.shape))
             return block_sweep_discrepancy(
-                bm, sess.scans_xyz, sess.scans_mask, sess.poses_inv, sess.poses,
+                bm, sess.scans_xyz[:K], sess.scans_mask[:K],
+                sess.poses_inv[:K], sess.poses[:K],
                 fov, shape, k_blocks=min(self.cfg.k_blocks, bm.num_blocks),
                 max_range=self.cfg.block_max_range,
                 diff_threshold=self.cfg.diff_threshold, reverse=False,
             )
         return sweep_discrepancy(
-            sess.map_xyz, mask, sess.scans_xyz, sess.scans_mask, sess.poses_inv,
-            fov, shape, self.cfg.diff_threshold, False,
+            sess.map_xyz, mask, sess.scans_xyz[:K], sess.scans_mask[:K],
+            sess.poses_inv[:K], fov, shape, self.cfg.diff_threshold, False,
         )
 
     def _remove_high_dynamic(self, sess: RemovertSession, fov):
@@ -284,19 +292,34 @@ class Removerter:
         cur = cand
         weak = jnp.zeros_like(cand)
         use_blocks = sess.bm is not None and source.bm is not None
+        Ks = source.num_keyframes  # padded poses are identity (phantom origin view)
+        # the source side (transform + winner projection + image scatter) is
+        # identical across repeats: build the per-keyframe projected-scan
+        # images ONCE, then each repeat only projects the shrinking delta set
+        if use_blocks:
+            imgs = block_projected_scan_images(
+                source.bm, source.masks["static"],
+                source.poses_inv[:Ks], source.poses[:Ks], fov, shape, proj_shape,
+                k_blocks=min(cfg.k_blocks, source.bm.num_blocks),
+                max_range=cfg.block_max_range,
+            )
+        else:
+            imgs = projected_scan_images(
+                source.map_xyz, source.masks["static"], source.poses_inv[:Ks],
+                fov, shape, proj_shape,
+            )
         for _ in range(cfg.nd_pd_filter_repeats):
             if use_blocks:
-                flagged = block_sweep_discrepancy_projected(
-                    sess.bm, cur, source.bm, source.masks["static"],
-                    source.poses_inv, source.poses, fov, shape, proj_shape,
-                    k_blocks=min(cfg.k_blocks, sess.bm.num_blocks),
+                flagged = block_sweep_discrepancy_vs_images(
+                    sess.bm, cur, imgs, source.poses_inv[:Ks], source.poses[:Ks],
+                    fov, shape, k_blocks=min(cfg.k_blocks, sess.bm.num_blocks),
                     max_range=cfg.block_max_range,
                     diff_threshold=cfg.diff_threshold, reverse=reverse,
                 )
             else:
-                flagged = sweep_discrepancy_projected(
-                    sess.map_xyz, cur, source.map_xyz, source.masks["static"],
-                    source.poses_inv, fov, shape, proj_shape, cfg.diff_threshold, reverse,
+                flagged = sweep_discrepancy_vs_images(
+                    sess.map_xyz, cur, imgs, source.poses_inv[:Ks],
+                    fov, shape, cfg.diff_threshold, reverse,
                 )
             weak = weak | flagged
             cur = cur & ~flagged
@@ -421,6 +444,11 @@ class Removerter:
             sub_mask = jnp.asarray(np.arange(m) < idx.size) & query_mask[idx_j]
             return idx_j, sub_mask
 
+        # Overflowed chunks are Morton-seam/map-edge chunks spanning two far
+        # clusters; a bigger block budget resolves them.  (Measured dead end:
+        # re-running them at chunk/8 does NOT shrink the bounding ball — a
+        # seam window is wide regardless of its length — and the leftovers
+        # fall to brute force, 5× slower end-to-end than k_blocks×8.)
         kb2 = min(kb * 8, n_blocks)
         if kb2 > kb:
             idx_j, sub_mask = _pad_subset(idx)
@@ -520,11 +548,12 @@ class Removerter:
         hd_sessions = ((c, "central_sess_high_dyn.pcd"), (q, "query_sess_high_dyn.pcd")) \
             if getattr(cfg, "save_high_dyn_maps", True) else ()
         for sess, fname in hd_sessions:
-            R = sess.poses[:, :3, :3]
-            t = sess.poses[:, :3, 3]
-            moved = jnp.einsum("kij,ksj->ksi", R, sess.scans_xyz) + t[:, None, :]
+            K = sess.num_keyframes
+            R = sess.poses[:K, :3, :3]
+            t = sess.poses[:K, :3, 3]
+            moved = jnp.einsum("kij,ksj->ksi", R, sess.scans_xyz[:K]) + t[:, None, :]
             flat = moved.reshape(-1, 3)
-            fmask = sess.scans_mask.reshape(-1)
+            fmask = sess.scans_mask[:K].reshape(-1)
             d = self._knn_stat(flat, fmask, sess.map_xyz, sess.masks["static"])
             dyn = fmask & (np.asarray(d) >= cfg.knn_avg_sqdist_threshold)
             pts = np.asarray(flat)[np.asarray(dyn)]

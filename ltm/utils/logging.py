@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import os
 import time
 from typing import Dict, Optional
 
@@ -29,14 +30,35 @@ def get_logger(name: str = "ltm") -> logging.Logger:
 
 @contextlib.contextmanager
 def stage_timer(stage: str, logger: Optional[logging.Logger] = None):
-    """Context manager: times a pipeline stage and records it globally."""
+    """Context manager: times a pipeline stage and records it globally.
+
+    Stage boundaries do NOT force device sync (stages overlap under the
+    async backend, keeping the pipeline fast); set LTM_SYNC_STAGES=1 to
+    drain all device work at each boundary for accurate attribution when
+    profiling (totals then exceed the async end-to-end wall clock).
+    """
+    sync = os.environ.get("LTM_SYNC_STAGES") == "1"
+    if sync:
+        _drain_devices()
     t0 = time.perf_counter()
     try:
         yield
     finally:
+        if sync:
+            _drain_devices()
         dt = time.perf_counter() - t0
         _STAGE_TIMES[stage] = _STAGE_TIMES.get(stage, 0.0) + dt
         (logger or get_logger()).info("stage %-32s %8.3f s", stage, dt)
+
+
+def _drain_devices() -> None:
+    import jax
+
+    try:
+        for d in jax.live_arrays():
+            d.block_until_ready()
+    except Exception:  # pragma: no cover — profiling aid only
+        pass
 
 
 def stage_times() -> Dict[str, float]:

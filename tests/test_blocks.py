@@ -78,3 +78,42 @@ def test_block_sweep_visibility_matches_flat(rng):
     np.testing.assert_allclose(
         got_pts[np.lexsort(got_pts.T)], ref_pts[np.lexsort(ref_pts.T)], atol=0
     )
+
+
+def test_cached_image_filter_matches_combined(rng):
+    """projected_scan_images + *_vs_images == the one-shot projected sweep
+    (both flat and blocked), for forward and reversed diff."""
+    fov, shape, proj_shape = (50.0, 360.0), (25, 180), (30, 216)
+    t_xyz, t_mask = make_scene(rng)
+    s_xyz, s_mask = make_scene(rng, n=3000)
+    K = 3
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[:, 0, 3] = [-25, 5, 30]
+    pose_inv = jnp.asarray(np.linalg.inv(poses))
+    poses_j = jnp.asarray(poses)
+
+    for reverse in (False, True):
+        ref = projection.sweep_discrepancy_projected(
+            t_xyz, t_mask, s_xyz, s_mask, pose_inv, fov, shape, proj_shape,
+            0.1, reverse)
+        imgs = projection.projected_scan_images(
+            s_xyz, s_mask, pose_inv, fov, shape, proj_shape)
+        got = projection.sweep_discrepancy_vs_images(
+            t_xyz, t_mask, imgs, pose_inv, fov, shape, 0.1, reverse)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+        t_bm, _ = blocks.build_block_map(t_xyz, t_mask, 20.0, 512, 128)
+        s_bm, _ = blocks.build_block_map(s_xyz, s_mask, 20.0, 512, 128)
+        ones_t = t_bm.flat_mask()
+        ones_s = s_bm.flat_mask()
+        ref_b = blocks.block_sweep_discrepancy_projected(
+            t_bm, ones_t, s_bm, ones_s, pose_inv, poses_j, fov, shape,
+            proj_shape, k_blocks=512, max_range=1e6,
+            diff_threshold=0.1, reverse=reverse)
+        imgs_b = blocks.block_projected_scan_images(
+            s_bm, ones_s, pose_inv, poses_j, fov, shape, proj_shape,
+            k_blocks=512, max_range=1e6)
+        got_b = blocks.block_sweep_discrepancy_vs_images(
+            t_bm, ones_t, imgs_b, pose_inv, poses_j, fov, shape,
+            k_blocks=512, max_range=1e6, diff_threshold=0.1, reverse=reverse)
+        np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))

@@ -186,3 +186,29 @@ def test_block_map_pipeline_matches_flat(bundle, result):
         a = a[np.lexsort(a.T)]
         b = b[np.lexsort(b.T)]
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+
+def test_keyframe_padding_invariance(bundle, result):
+    """max_keyframes > actual keyframes must not change any result: padded
+    pose entries are identity matrices — a phantom viewpoint at the global
+    origin — and must be excluded from every sweep (regression)."""
+    cfg = RemovertConfig()
+    cfg.max_keyframes = NUM_KF + 6  # force padding
+    cfg.scan_capacity = 40960
+    cfg.map_capacity = 1 << 17
+    cfg.downsample_voxel_size = 0.1
+    cfg.knn_avg_sqdist_threshold = 0.04
+    cfg.keyframe_gap = 1
+    cfg.end_idx = 10_000
+    cfg.save_high_dyn_maps = False
+    res_p = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]))
+
+    res, _ = result
+    for name in ("static_c", "dynamic_c", "nd", "nd_strong", "nd_weak",
+                 "pd", "pd_strong", "updated"):
+        a = res.points(name)
+        b = res_p.points(name)
+        assert len(a) == len(b), (name, len(a), len(b))
+        a = a[np.lexsort(a.T)]
+        b = b[np.lexsort(b.T)]
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
