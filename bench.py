@@ -59,15 +59,20 @@ def main() -> None:
     poses_j = jnp.asarray(poses)
 
     # one-time blocking (amortized over all sweeps of all pipeline stages)
-    bm, overflow = build_block_map(map_xyz, map_mask, cell_size=25.0,
-                                   n_blocks=8192, block_capacity=1024)
+    from ltm.kernels.blocks import required_k_blocks
+
+    bm, overflow = build_block_map(map_xyz, map_mask, cell_size=40.0,
+                                   n_blocks=20480, block_capacity=256)
     assert int(overflow) == 0, int(overflow)
-    # Exactness bound for the discrepancy stage: a map point farther than the
-    # scan's maximum range can neither be flagged (diff = scan - map must be
-    # > 0.1) nor displace a pixel minimum, so the block ball only needs to
-    # cover max_scan_range (+ margin); see blocks.py docstring.
-    max_range = 130.0
-    k_blocks = 512
+    # Exactness bound for the forward discrepancy sweep: a flagged map point
+    # must satisfy range < scan_pixel_range - thres <= 120 (the scans above
+    # are clamped to 120 m), and culling beyond that can neither flag a point
+    # nor displace a pixel minimum below it (blocks.py docstring).  k_blocks
+    # is sized so NO in-range block is ever truncated — the culled sweep is
+    # bit-identical to the whole-map sweep.
+    max_range = 120.0 + 0.1 + 0.1
+    k_blocks = required_k_blocks(bm, poses[:, :3, 3], max_range)
+    assert k_blocks < bm.num_blocks, (k_blocks, bm.num_blocks)
 
     def run():
         out = block_sweep_discrepancy(

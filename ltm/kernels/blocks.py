@@ -3,10 +3,15 @@
 Dynamic-index ops (scatter/gather) serialize on the TPU scalar unit at ~6
 cycles/element, so the visibility sweep costs ~14 ns per *map point* per
 keyframe no matter how it is phrased.  The winning lever is to touch fewer
-points: a keyframe's range image can only be affected by map points within
-the valid range bound (``kValidDiffUpperBound`` = 200 m — a farther point
-can never be flagged, and culling far points never changes any pixel's
-winner, which is the per-pixel *minimum* range).
+points per keyframe, under a per-call range bound chosen so culling is
+exact.  For the forward diff (``scan − map``), a flagged map point must
+satisfy ``range < scan_pixel_range − thres ≤ max_scan_range``, and a culled
+farther point can neither be flagged nor displace a pixel *minimum* below
+the bound — so ``max_range = max_scan_range + thres`` reproduces the
+whole-map sweep bit-for-bit.  For the reversed diff the analogous exact
+bound is ``source_range_bound + kValidDiffUpperBound`` (see
+``ltm.removert.pipeline``).  ``required_k_blocks`` sizes the static block
+budget so no in-range block is ever truncated.
 
 So the map is laid out once as fixed-size spatial blocks (coarse voxels,
 points grouped contiguously).  Per keyframe, the nearest ``k_blocks`` blocks
@@ -29,9 +34,12 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ltm.kernels.projection import discrepancy_mask, winner_mask
 
 __all__ = ["BlockMap", "build_block_map", "build_block_map_with_slots",
+           "required_k_blocks",
            "block_sweep_discrepancy", "block_sweep_visibility"]
 
 
@@ -78,7 +86,19 @@ def build_block_map_with_slots(
     coords = jnp.floor(xyz / cell_size).astype(jnp.int32)
     coords = jnp.where(mask[:, None], coords, jnp.int32(2**30))
 
-    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0], (~mask).astype(jnp.int32)))
+    # secondary key: Morton code of the 8x8x8 sub-cell position, so the
+    # capacity-sized blocks a cell spills into are spatially COMPACT runs
+    # instead of arbitrary point subsets — tighter bounding balls mean finer
+    # range culling (~10% smaller sweep working sets, measured) at identical
+    # semantics (blocks still never span cells)
+    sub = jnp.clip(jnp.floor(xyz * (8.0 / cell_size)).astype(jnp.int32) - coords * 8, 0, 7)
+
+    def _spread3(v):  # 3 bits -> every 3rd bit
+        return (v & 1) | ((v & 2) << 2) | ((v & 4) << 4)
+
+    morton = (_spread3(sub[:, 0]) << 2) | (_spread3(sub[:, 1]) << 1) | _spread3(sub[:, 2])
+    order = jnp.lexsort((morton, coords[:, 2], coords[:, 1], coords[:, 0],
+                         (~mask).astype(jnp.int32)))
     cs = coords[order]
     ms = mask[order]
     xs = xyz[order]
@@ -131,6 +151,26 @@ def build_block_map(
     """(BlockMap, overflow_count) — see ``build_block_map_with_slots``."""
     bm, overflow, _ = build_block_map_with_slots(xyz, mask, cell_size, n_blocks, block_capacity)
     return bm, overflow
+
+
+def required_k_blocks(bm: BlockMap, origins: np.ndarray, max_range: float,
+                      round_to: int = 128) -> int:
+    """Smallest exact ``k_blocks`` for a set of viewpoints: the max over
+    origins of the number of valid blocks whose bounding ball intersects the
+    ``max_range`` ball (what ``_select_blocks`` must not truncate).  Host-side
+    (NumPy); rounded up to a multiple of ``round_to`` to bound recompiles,
+    clamped to the number of blocks.  Sweeps sized this way touch every block
+    that could contribute, so the culled sweep equals the whole-map sweep
+    whenever ``max_range`` itself is a sound bound (see the per-call notes in
+    ``ltm.removert.pipeline``)."""
+    centers = np.asarray(bm.centers)
+    radius = np.asarray(bm.radius)
+    valid = np.asarray(bm.block_valid)
+    origins = np.asarray(origins).reshape(-1, 3)
+    d = np.linalg.norm(centers[None] - origins[:, None], axis=-1) - radius[None]
+    need = int(((d <= max_range) & valid[None]).sum(axis=1).max(initial=0))
+    need = ((need + round_to - 1) // round_to) * round_to
+    return int(min(max(need, round_to), bm.num_blocks))
 
 
 def _select_blocks(bm: BlockMap, origin: jax.Array, max_range: float, k_blocks: int):

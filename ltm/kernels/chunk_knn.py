@@ -131,6 +131,18 @@ def chunk_knn_sqdists(
     def body(_, inp):
         qc, qmc = inp                                     # (chunk,3), (chunk,)
         cnt = jnp.sum(qmc)
+        # invalid (padding) queries Morton-sort to the end, so padded maps
+        # produce a TAIL of all-invalid chunks; lax.cond (not vmapped here,
+        # a real branch) skips their gather/score work entirely — without
+        # this, a map padded to capacity pays full per-chunk cost on padding
+        # (measured: the bulk of smoke-scale pipeline wall time)
+        ov_out = jax.lax.cond(cnt > 0, _active, _empty, qc, qmc, cnt)
+        return None, ov_out
+
+    def _empty(qc, qmc, cnt):
+        return jnp.int32(0), jnp.full((chunk, k), _BIG, jnp.float32)
+
+    def _active(qc, qmc, cnt):
         center = jnp.sum(jnp.where(qmc[:, None], qc, 0.0), axis=0) / jnp.maximum(cnt, 1)
         rad = jnp.max(jnp.where(qmc, jnp.linalg.norm(qc - center, axis=-1), 0.0))
 
@@ -169,7 +181,7 @@ def chunk_knn_sqdists(
         exact = jnp.stack(outs, axis=1)                   # (chunk, k) ascending
         exact = jnp.minimum(exact, r2)                    # clamp contract
         out = jnp.where(qmc[:, None], exact, _BIG)
-        return None, (jnp.maximum(n_int - k_blocks, 0), out)
+        return jnp.maximum(n_int - k_blocks, 0).astype(jnp.int32), out
 
     _, (chunk_overflow, d) = jax.lax.scan(body, None, (qx, qm))
     res = jnp.full((n, k), _BIG, jnp.float32).at[order].set(d.reshape(-1, k)[:n])

@@ -275,7 +275,8 @@ class Removerter:
         """
         cfg = self.cfg
         eligible = sess.masks["static"] & sess.masks["proj_static"]
-        d = self._knn_stat(sess.map_xyz, eligible, other.map_xyz, other.masks["static"])
+        d = self._knn_stat(sess.map_xyz, eligible, other.map_xyz,
+                           other.masks["static"], target_base=other.map_mask)
         close = d < cfg.knn_avg_sqdist_threshold
         coexist = eligible & close
         diff = eligible & ~close
@@ -325,7 +326,8 @@ class Removerter:
             cur = cur & ~flagged
         return cur, weak
 
-    def _knn_stat(self, query_xyz, query_mask, target_xyz, target_mask):
+    def _knn_stat(self, query_xyz, query_mask, target_xyz, target_mask,
+                  target_base=None):
         """avg-of-k nearest squared distances.
 
         Three paths, all making identical threshold decisions:
@@ -333,10 +335,15 @@ class Removerter:
         target session is block-structured — kernels/chunk_knn.py), grid-
         bucketed kNN (kernels/grid_knn.py, dense-occupancy opt-in), and tiled
         brute force.  Clamped paths are exact for this pipeline's thresholds
-        because clamp² >= k·max(threshold) — see the kernel docstrings."""
+        because clamp² >= k·max(threshold) — see the kernel docstrings.
+
+        ``target_base``: the map's validity mask (every per-call
+        ``target_mask`` must be a subset) — lets the chunked path size its
+        block layout by REAL points instead of padded capacity."""
         cfg = self.cfg
         if cfg.use_chunk_knn and target_xyz.shape[0] >= cfg.chunk_knn_min_targets:
-            d = self._chunk_knn_stat(query_xyz, query_mask, target_xyz, target_mask)
+            d = self._chunk_knn_stat(query_xyz, query_mask, target_xyz,
+                                     target_mask, target_base)
             if d is not None:
                 return d
         if cfg.use_grid_knn:
@@ -365,33 +372,43 @@ class Removerter:
             k=cfg.num_knn_points, tile=8192, query_chunk=16384,
         )
 
-    def _knn_block_map(self, target_xyz):
+    def _knn_block_map(self, target_xyz, target_base=None):
         """kNN-grained block layout of a map, built ONCE per map object.
 
         Finer than the sweep blocks (a ~1.4 m query radius wants ~12 m
-        cells, not 25 m / 1024-point blocks) and built over ALL map points;
-        per-call target subsets are applied through the chunk kernel's
-        ``target_extra`` mask using the returned original-index→slot map.
-        Cache is id-keyed with a strong reference to the map array (map
-        arrays are immutable and few per run).  Returns (None, None) if the
-        build overflows (degenerate extents) so callers fall back to brute.
+        cells, not 25 m / 1024-point blocks) and built over the map's REAL
+        points (``target_base``; all of them when None); per-call target
+        subsets are applied through the chunk kernel's ``target_extra`` mask
+        using the returned original-index→slot map.  The block budget is
+        sized by the real point count (pow-2 bucketed to bound recompiles),
+        not the padded capacity.  Cache is id-keyed with a strong reference
+        to the map array (map arrays are immutable and few per run).
+        Returns (None, None) if the build overflows (degenerate extents) so
+        callers fall back to brute.
         """
         cfg = self.cfg
         cached = self._kbm_cache.get(id(target_xyz))
         if cached is not None and cached[0] is target_xyz:
             return cached[1], cached[2]
         cap = cfg.chunk_knn_block_capacity
-        n_blocks = (target_xyz.shape[0] * cfg.chunk_knn_block_slack + cap - 1) // cap
-        full = jnp.ones((target_xyz.shape[0],), bool)
+        if target_base is None:
+            base = jnp.ones((target_xyz.shape[0],), bool)
+            n_real = target_xyz.shape[0]
+        else:
+            base = target_base
+            n_real = int(target_base.sum())
+        need = max((n_real * cfg.chunk_knn_block_slack + cap - 1) // cap, 1)
+        n_blocks = 1 << int(np.ceil(np.log2(need)))
         kbm, ov, slots = build_block_map_with_slots(
-            target_xyz, full, cfg.chunk_knn_block_cell, n_blocks, cap)
+            target_xyz, base, cfg.chunk_knn_block_cell, n_blocks, cap)
         if int(ov) > 0:
             log.warning("chunk kNN block build overflow (%d pts); brute fallback", int(ov))
             kbm = slots = None
         self._kbm_cache[id(target_xyz)] = (target_xyz, kbm, slots)
         return kbm, slots
 
-    def _chunk_knn_stat(self, query_xyz, query_mask, target_xyz, target_mask):
+    def _chunk_knn_stat(self, query_xyz, query_mask, target_xyz, target_mask,
+                        target_base=None):
         """Occupancy-adaptive chunked kNN statistic (kernels/chunk_knn.py).
 
         Runs the chunked kernel against the cached per-map block layout;
@@ -406,7 +423,7 @@ class Removerter:
         cfg = self.cfg
         from ltm.kernels.chunk_knn import chunk_knn_sqdists
 
-        kbm, slots = self._knn_block_map(target_xyz)
+        kbm, slots = self._knn_block_map(target_xyz, target_base)
         if kbm is None:
             return None
         max_t = max(cfg.knn_avg_sqdist_threshold, cfg.weak_to_strong_sqdist_threshold)
@@ -488,7 +505,8 @@ class Removerter:
         cfg = self.cfg
         if not bool(strong.any()):
             return strong, weak
-        d = self._knn_stat(sess.map_xyz, weak, sess.map_xyz, strong)
+        d = self._knn_stat(sess.map_xyz, weak, sess.map_xyz, strong,
+                           target_base=sess.map_mask)
         promote = weak & (d < cfg.weak_to_strong_sqdist_threshold)
         return strong | promote, weak & ~promote
 
@@ -554,7 +572,8 @@ class Removerter:
             moved = jnp.einsum("kij,ksj->ksi", R, sess.scans_xyz[:K]) + t[:, None, :]
             flat = moved.reshape(-1, 3)
             fmask = sess.scans_mask[:K].reshape(-1)
-            d = self._knn_stat(flat, fmask, sess.map_xyz, sess.masks["static"])
+            d = self._knn_stat(flat, fmask, sess.map_xyz,
+                               sess.masks["static"], target_base=sess.map_mask)
             dyn = fmask & (np.asarray(d) >= cfg.knn_avg_sqdist_threshold)
             pts = np.asarray(flat)[np.asarray(dyn)]
             if len(pts):

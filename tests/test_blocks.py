@@ -117,3 +117,47 @@ def test_cached_image_filter_matches_combined(rng):
             t_bm, ones_t, imgs_b, pose_inv, poses_j, fov, shape,
             k_blocks=512, max_range=1e6, diff_threshold=0.1, reverse=reverse)
         np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))
+
+
+def test_block_sweep_exact_when_culling_bites(rng):
+    """Culled forward sweep == whole-map sweep with max_range = max scan
+    range + diff threshold, on a corridor much longer than the bound (the
+    bench.py configuration in miniature): blocks ARE dropped per keyframe,
+    yet the flagged set is identical (blocks.py docstring bound argument)."""
+    fov, shape = (50.0, 360.0), (25, 180)
+    n = 60_000
+    pts = np.stack([
+        rng.uniform(0.0, 600.0, n),          # corridor ~5x longer than bound
+        rng.normal(size=n) * 20,
+        rng.normal(size=n) * 2,
+    ], 1).astype(np.float32)
+    xyz = jnp.asarray(pts)
+    mask = jnp.asarray(rng.uniform(size=n) > 0.05)
+
+    K = 4
+    raw = rng.normal(size=(K, 1024, 3)).astype(np.float32) * np.array([30, 30, 2], np.float32)
+    rr = np.linalg.norm(raw, axis=-1, keepdims=True)
+    max_scan = 60.0
+    raw = np.where(rr > max_scan, raw * (max_scan / rr), raw)
+    scans = jnp.asarray(raw)
+    smask = jnp.ones((K, 1024), bool)
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[:, 0, 3] = [80, 220, 380, 520]
+    pose_inv = jnp.asarray(np.linalg.inv(poses))
+
+    ref_dyn = projection.sweep_discrepancy(xyz, mask, scans, smask, pose_inv, fov, shape, 0.1, False)
+    ref_pts = np.asarray(xyz)[np.asarray(ref_dyn)]
+
+    bm, ov = blocks.build_block_map(xyz, mask, 20.0, n_blocks=1024, block_capacity=128)
+    assert int(ov) == 0
+    max_range = max_scan + 0.1 + 0.1
+    kb = blocks.required_k_blocks(bm, poses[:, :3, 3], max_range, round_to=32)
+    assert kb < bm.num_blocks  # culling must actually drop blocks
+    dyn = blocks.block_sweep_discrepancy(
+        bm, scans, smask, pose_inv, jnp.asarray(poses), fov, shape,
+        k_blocks=kb, max_range=max_range, diff_threshold=0.1, reverse=False,
+    )
+    got_pts = np.asarray(bm.flat_xyz())[np.asarray(dyn)]
+    np.testing.assert_allclose(
+        got_pts[np.lexsort(got_pts.T)], ref_pts[np.lexsort(ref_pts.T)], atol=0
+    )
