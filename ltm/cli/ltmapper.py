@@ -19,6 +19,7 @@ from ltm.io.sessions import load_session_dir
 from ltm.removert import Removerter, RemovertInput
 from ltm.slam import LTSlam
 from ltm.utils import get_logger
+from ltm.utils.stagecache import StageCache, stage_key
 
 log = get_logger("ltm.cli.ltmapper")
 
@@ -31,6 +32,9 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--ltslam-config", help="optional YAML for LTSlamConfig")
     ap.add_argument("--removert-config", help="optional YAML for RemovertConfig")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip stages whose inputs+config are unchanged since a "
+                         "previous successful run (content-addressed stage cache)")
     args = ap.parse_args(argv)
 
     from ltm.utils.cache import enable_compilation_cache
@@ -45,22 +49,36 @@ def main(argv=None) -> int:
 
     central_dir = os.path.join(args.sessions_dir, args.central)
     query_dir = os.path.join(args.sessions_dir, args.query)
-    central = load_session_dir(central_dir, max_nodes=slam_cfg.max_nodes_per_session)
-    query = load_session_dir(query_dir, max_nodes=slam_cfg.max_nodes_per_session)
+    cache = StageCache(os.path.join(args.out, ".stage_cache")) if args.resume else None
 
-    log.info("=== stage 1/2: LT-SLAM ===")
-    LTSlam(slam_cfg).run(central, query, save_directory=slam_out)
+    slam_key = stage_key("ltslam", slam_cfg, [central_dir, query_dir],
+                         extra=f"{args.central}|{args.query}")
+    if cache is not None and cache.check("ltslam", slam_key):
+        log.info("=== stage 1/2: LT-SLAM === (cached, skipping)")
+        central_name, query_name = args.central, args.query
+    else:
+        central = load_session_dir(central_dir, max_nodes=slam_cfg.max_nodes_per_session)
+        query = load_session_dir(query_dir, max_nodes=slam_cfg.max_nodes_per_session)
+        central_name, query_name = central.name, query.name
+        log.info("=== stage 1/2: LT-SLAM ===")
+        LTSlam(slam_cfg).run(central, query, save_directory=slam_out)
+        if cache is not None:
+            cache.commit("ltslam", slam_key, [slam_out])
 
-    log.info("=== stage 2/2: LT-removert + LT-map ===")
-    c_in = RemovertInput.from_dirs(
-        os.path.join(central_dir, "Scans"),
-        os.path.join(slam_out, f"{central.name}_central_aft_intersession_loops.txt"),
-    )
-    q_in = RemovertInput.from_dirs(
-        os.path.join(query_dir, "Scans"),
-        os.path.join(slam_out, f"{query.name}_central_aft_intersession_loops.txt"),
-    )
-    Removerter(rm_cfg).run(c_in, q_in, save_directory=rm_out)
+    c_pose = os.path.join(slam_out, f"{central_name}_central_aft_intersession_loops.txt")
+    q_pose = os.path.join(slam_out, f"{query_name}_central_aft_intersession_loops.txt")
+    c_scans = os.path.join(central_dir, "Scans")
+    q_scans = os.path.join(query_dir, "Scans")
+    rm_key = stage_key("ltremovert", rm_cfg, [c_scans, q_scans, c_pose, q_pose])
+    if cache is not None and cache.check("ltremovert", rm_key):
+        log.info("=== stage 2/2: LT-removert + LT-map === (cached, skipping)")
+    else:
+        log.info("=== stage 2/2: LT-removert + LT-map ===")
+        c_in = RemovertInput.from_dirs(c_scans, c_pose)
+        q_in = RemovertInput.from_dirs(q_scans, q_pose)
+        Removerter(rm_cfg).run(c_in, q_in, save_directory=rm_out)
+        if cache is not None:
+            cache.commit("ltremovert", rm_key, [rm_out])
     log.info("done: %s", args.out)
     return 0
 

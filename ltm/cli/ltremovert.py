@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     ap.add_argument("--query-scans")
     ap.add_argument("--query-poses")
     ap.add_argument("--out")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip the run if inputs+config are unchanged since a "
+                         "previous successful one (content-addressed stage cache)")
     args = ap.parse_args(argv)
 
     from ltm.utils.cache import enable_compilation_cache
@@ -48,12 +51,28 @@ def main(argv=None) -> int:
         if not getattr(cfg, field):
             ap.error(f"{field} required (via --config or CLI flags)")
 
+    cache = key = None
+    if args.resume and cfg.save_pcd_directory:
+        import os
+
+        from ltm.utils.stagecache import StageCache, stage_key
+
+        cache = StageCache(os.path.join(cfg.save_pcd_directory, ".stage_cache"))
+        key = stage_key("ltremovert", cfg,
+                        [cfg.central_sess_scan_dir, cfg.central_sess_pose_path,
+                         cfg.query_sess_scan_dir, cfg.query_sess_pose_path])
+        if cache.check("ltremovert", key):
+            log.info("inputs+config unchanged — cached artifacts in %s", cfg.save_pcd_directory)
+            return 0
+
     central = RemovertInput.from_dirs(cfg.central_sess_scan_dir, cfg.central_sess_pose_path)
     query = RemovertInput.from_dirs(cfg.query_sess_scan_dir, cfg.query_sess_pose_path)
     log.info("central: %d scans | query: %d scans", len(central.scans), len(query.scans))
 
     Removerter(cfg).run(central, query, save_directory=cfg.save_pcd_directory)
     log.info("artifacts written to %s", cfg.save_pcd_directory)
+    if cache is not None:
+        cache.commit("ltremovert", key, [cfg.save_pcd_directory])
     return 0
 
 

@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     ap.add_argument("--central", help="override central_sess_name")
     ap.add_argument("--query", help="override query_sess_name")
     ap.add_argument("--out", help="override save_directory")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip the run if inputs+config are unchanged since a "
+                         "previous successful one (content-addressed stage cache)")
     args = ap.parse_args(argv)
 
     from ltm.utils.cache import enable_compilation_cache
@@ -47,6 +50,18 @@ def main(argv=None) -> int:
     if not cfg.sessions_dir:
         ap.error("sessions_dir required (via --config or --sessions-dir)")
 
+    cache = key = None
+    if args.resume and cfg.save_directory:
+        from ltm.utils.stagecache import StageCache, stage_key
+
+        cache = StageCache(os.path.join(cfg.save_directory, ".stage_cache"))
+        key = stage_key("ltslam", cfg,
+                        [os.path.join(cfg.sessions_dir, cfg.central_sess_name),
+                         os.path.join(cfg.sessions_dir, cfg.query_sess_name)])
+        if cache.check("ltslam", key):
+            log.info("inputs+config unchanged — cached outputs in %s", cfg.save_directory)
+            return 0
+
     central = load_session_dir(os.path.join(cfg.sessions_dir, cfg.central_sess_name),
                                max_nodes=cfg.max_nodes_per_session)
     query = load_session_dir(os.path.join(cfg.sessions_dir, cfg.query_sess_name),
@@ -57,6 +72,8 @@ def main(argv=None) -> int:
     result = LTSlam(cfg).run(central, query, save_directory=cfg.save_directory)
     log.info("done: %d SC loops, %d RS loops; trajectories in %s",
              result.num_sc_loops, result.num_rs_loops, cfg.save_directory)
+    if cache is not None:
+        cache.commit("ltslam", key, [cfg.save_directory])
     return 0
 
 

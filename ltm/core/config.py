@@ -146,6 +146,8 @@ class RemovertConfig:
     # precleaning (``Removerter.cpp:1660``, ``Session.cpp:506-533``)
     preclean_radius: float = 2.5
     preclean_z_band: float = 0.5
+    # batched preclean+downsample on device (vs a serial host loop)
+    device_scan_prep: bool = True
 
     # density / kNN
     downsample_voxel_size: float = 0.05

@@ -19,7 +19,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-__all__ = ["voxel_coords", "voxel_downsample_centroid", "voxel_unique_mask"]
+__all__ = ["voxel_coords", "voxel_downsample_centroid",
+           "voxel_downsample_centroid_capped", "voxel_unique_mask"]
 
 _INT_SENTINEL = jnp.int32(2**31 - 1)
 
@@ -59,6 +60,39 @@ def voxel_downsample_centroid(xyz: jax.Array, mask: jax.Array, voxel: float, out
     sums = jax.ops.segment_sum(xs * w[:, None], seg_clipped, num_segments=out_capacity + 1)
     counts = jax.ops.segment_sum(w, seg_clipped, num_segments=out_capacity + 1)
     num_voxels = jnp.sum(is_new.astype(jnp.int32))
+    out_xyz = sums[:out_capacity] / jnp.maximum(counts[:out_capacity, None], 1.0)
+    out_mask = counts[:out_capacity] > 0
+    return out_xyz, out_mask, num_voxels
+
+
+@partial(jax.jit, static_argnames=("out_capacity",))
+def voxel_downsample_centroid_capped(xyz: jax.Array, mask: jax.Array, voxel: float,
+                                     out_capacity: int):
+    """Centroid downsample with graceful overflow: when more than
+    ``out_capacity`` voxels are occupied, adjacent voxels (in lexicographic
+    order) are merged uniformly — ``seg -> seg*cap//nvox`` — so the output
+    is a spatially uniform density cap instead of a truncated tail.
+
+    This is the load-time per-scan downsample (``loadKeyframes`` VoxelGrid,
+    reference ``ltremovert/src/Session.cpp:283-289``) for scans denser than
+    the scan capacity; vmapped over a whole session's keyframes it replaces
+    the host-side per-scan loop with one batched device program.
+    """
+    order, seg, ms, is_new = _sorted_groups(voxel_coords(xyz, voxel), mask)
+    xs = xyz[order]
+    w = ms.astype(xyz.dtype)
+    num_voxels = jnp.sum(is_new.astype(jnp.int32))
+    nv = jnp.maximum(num_voxels, 1)
+    # slot = floor(seg * cap / nv) in f32 (seg*cap overflows int32 without
+    # x64 mode; all points of a voxel share seg, so rounding stays per-voxel
+    # deterministic and only nudges merge boundaries)
+    ratio = jnp.float32(out_capacity) / nv.astype(jnp.float32)
+    slot = jnp.floor(seg.astype(jnp.float32) * ratio).astype(jnp.int32)
+    slot = jnp.minimum(slot, out_capacity - 1)
+    seg_u = jnp.where(num_voxels > out_capacity, slot, seg)
+    seg_u = jnp.minimum(jnp.where(ms, seg_u, out_capacity), out_capacity)
+    sums = jax.ops.segment_sum(xs * w[:, None], seg_u, num_segments=out_capacity + 1)
+    counts = jax.ops.segment_sum(w, seg_u, num_segments=out_capacity + 1)
     out_xyz = sums[:out_capacity] / jnp.maximum(counts[:out_capacity, None], 1.0)
     out_mask = counts[:out_capacity] > 0
     return out_xyz, out_mask, num_voxels

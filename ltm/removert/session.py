@@ -23,9 +23,12 @@ import numpy as np
 
 from ltm.core.config import RemovertConfig
 from ltm.kernels.blocks import BlockMap, build_block_map
-from ltm.kernels.voxel import voxel_downsample_centroid
+from ltm.utils import get_logger
+from ltm.kernels.voxel import voxel_downsample_centroid, voxel_downsample_centroid_capped
 
 __all__ = ["RemovertInput", "RemovertSession", "parse_keyframe_indices", "parse_keyframes_in_roi"]
+
+log = get_logger("ltm.removert.session")
 
 
 @dataclass
@@ -108,6 +111,22 @@ def _voxel_downsample_host(xyz: np.ndarray, voxel: float) -> np.ndarray:
     return xyz[np.sort(first), :3]
 
 
+@partial(jax.jit, static_argnames=("out_capacity",))
+def _prep_scans_device(raw_xyz, raw_mask, voxel, radius, z_band, out_capacity):
+    """Batched load-time scan prep on device: ego-ring preclean
+    (``precleaningKeyframes``, reference ``Session.cpp:506-533``) + per-scan
+    voxel-centroid downsample (``loadKeyframes``, ``Session.cpp:283-289``) as
+    ONE vmapped program over all keyframes — replaces a serial host loop that
+    dominated the pipeline's prep stage on small-CPU hosts."""
+
+    def one(xyz, mask):
+        r2 = jnp.sum(xyz * xyz, axis=1)
+        keep = mask & ~((r2 < radius * radius) & (jnp.abs(xyz[:, 2]) < z_band))
+        return voxel_downsample_centroid_capped(xyz, keep, voxel, out_capacity)
+
+    return jax.vmap(one)(raw_xyz, raw_mask)
+
+
 @partial(jax.jit, static_argnames=("capacity",))
 def _merge_global(scans_xyz, scans_mask, poses, voxel, capacity):
     """Merge keyframes into the global frame + centroid downsample
@@ -152,24 +171,47 @@ class RemovertSession:
 
         lidar2base = np.asarray(cfg.extrinsic_lidar_to_base, np.float64).reshape(4, 4)
         poses = np.tile(np.eye(4, dtype=np.float32), (k_cap, 1, 1))
-        xyz = np.zeros((k_cap, s_cap, 3), np.float32)
-        msk = np.zeros((k_cap, s_cap), bool)
         names = []
         for out_i, scan_i in enumerate(kf):
-            scan = _preclean(np.asarray(inp.scans[scan_i], np.float32), cfg.preclean_radius, cfg.preclean_z_band)
-            pts = _voxel_downsample_host(scan[:, :3], cfg.downsample_voxel_size).astype(np.float32)
-            if len(pts) > s_cap:
-                sel = np.linspace(0, len(pts) - 1, s_cap).astype(np.int64)
-                pts = pts[sel]
-            xyz[out_i, : len(pts)] = pts
-            msk[out_i, : len(pts)] = True
             poses[out_i] = (inp.poses[scan_i] @ lidar2base).astype(np.float32)
             names.append(inp.names[scan_i] if inp.names else f"{scan_i:06d}.pcd")
         valid = np.zeros(k_cap, bool)
         valid[:K] = True
 
-        scans_xyz = jnp.asarray(xyz)
-        scans_mask = jnp.asarray(msk)
+        if cfg.device_scan_prep and K > 0:
+            # batched preclean + voxel downsample on device (one program for
+            # the whole session; shapes pow-2 bucketed to bound recompiles)
+            max_len = max(len(inp.scans[i]) for i in kf)
+            raw_cap = 1 << max(12, (max(max_len, 1) - 1).bit_length())
+            k_pad = ((K + 7) // 8) * 8
+            raw = np.zeros((k_pad, raw_cap, 3), np.float32)
+            rmask = np.zeros((k_pad, raw_cap), bool)
+            for out_i, scan_i in enumerate(kf):
+                s = np.asarray(inp.scans[scan_i], np.float32)[:, :3]
+                raw[out_i, : len(s)] = s
+                rmask[out_i, : len(s)] = True
+            ds_xyz, ds_mask, nvox = _prep_scans_device(
+                jnp.asarray(raw), jnp.asarray(rmask), cfg.downsample_voxel_size,
+                cfg.preclean_radius, cfg.preclean_z_band, s_cap)
+            n_over = int(jnp.sum(nvox[:K] > s_cap))
+            if n_over:
+                log.warning("%s: %d/%d scans exceed scan_capacity=%d voxels — "
+                            "uniformly merged to fit", sess_type, n_over, K, s_cap)
+            scans_xyz = jnp.zeros((k_cap, s_cap, 3), jnp.float32).at[:K].set(ds_xyz[:K])
+            scans_mask = jnp.zeros((k_cap, s_cap), bool).at[:K].set(ds_mask[:K])
+        else:
+            xyz = np.zeros((k_cap, s_cap, 3), np.float32)
+            msk = np.zeros((k_cap, s_cap), bool)
+            for out_i, scan_i in enumerate(kf):
+                scan = _preclean(np.asarray(inp.scans[scan_i], np.float32), cfg.preclean_radius, cfg.preclean_z_band)
+                pts = _voxel_downsample_host(scan[:, :3], cfg.downsample_voxel_size).astype(np.float32)
+                if len(pts) > s_cap:
+                    sel = np.linspace(0, len(pts) - 1, s_cap).astype(np.int64)
+                    pts = pts[sel]
+                xyz[out_i, : len(pts)] = pts
+                msk[out_i, : len(pts)] = True
+            scans_xyz = jnp.asarray(xyz)
+            scans_mask = jnp.asarray(msk)
         poses_j = jnp.asarray(poses)
         poses_inv = jnp.asarray(np.linalg.inv(poses.astype(np.float64)).astype(np.float32))
         map_xyz, map_mask, nvox = _merge_global(

@@ -113,6 +113,30 @@ def test_voxel_centroid_matches_oracle(rng):
     np.testing.assert_allclose(got_sorted, ref_sorted, atol=1e-5)
 
 
+def test_voxel_centroid_capped_matches_uncapped_when_fitting(rng):
+    pts = rng.uniform(-2, 2, size=(500, 3)).astype(np.float32)
+    mask = np.ones(500, bool)
+    mask[::7] = False
+    a = voxel.voxel_downsample_centroid(jnp.asarray(pts), jnp.asarray(mask), 0.5, 512)
+    b = voxel.voxel_downsample_centroid_capped(jnp.asarray(pts), jnp.asarray(mask), 0.5, 512)
+    assert int(a[2]) == int(b[2])
+    np.testing.assert_allclose(np.asarray(a[0])[np.asarray(a[1])],
+                               np.asarray(b[0])[np.asarray(b[1])], atol=1e-6)
+
+
+def test_voxel_centroid_capped_overflow_uniform(rng):
+    # 1000 occupied voxels along a line, capacity 100 -> uniform merge, not
+    # a truncated tail: output must still span the full extent
+    pts = np.stack([np.arange(1000, dtype=np.float32) * 0.5 + 0.25,
+                    np.zeros(1000, np.float32), np.zeros(1000, np.float32)], 1)
+    out_xyz, out_mask, nvox = voxel.voxel_downsample_centroid_capped(
+        jnp.asarray(pts), jnp.ones(1000, bool), 0.5, 100)
+    assert int(nvox) == 1000
+    got = np.asarray(out_xyz)[np.asarray(out_mask)]
+    assert len(got) == 100
+    assert got[:, 0].min() < 5.0 and got[:, 0].max() > 495.0
+
+
 def test_voxel_unique_mask(rng):
     pts = np.array([[0.01, 0, 0], [0.02, 0, 0], [1.0, 0, 0]], np.float32)
     keep = voxel.voxel_unique_mask(jnp.asarray(pts), jnp.ones(3, bool), 0.1)

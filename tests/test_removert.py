@@ -188,6 +188,34 @@ def test_block_map_pipeline_matches_flat(bundle, result):
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
+def test_device_scan_prep_matches_host(bundle):
+    """The batched device preclean+downsample and the host per-scan loop must
+    produce near-identical session maps (both are voxel centroids; they may
+    disagree only through f32 centroid rounding at voxel borders)."""
+    from ltm.removert.session import RemovertSession, parse_keyframe_indices
+
+    inp = _input_from(bundle["central"])
+    cfg = RemovertConfig()
+    cfg.max_keyframes = NUM_KF
+    cfg.scan_capacity = 40960
+    cfg.map_capacity = 1 << 17
+    cfg.downsample_voxel_size = 0.1
+    idx = parse_keyframe_indices(len(inp.scans), cfg.start_idx, 10_000, 1)
+
+    cfg.device_scan_prep = True
+    dev = RemovertSession.build(inp, cfg, "Central", idx)
+    cfg.device_scan_prep = False
+    host = RemovertSession.build(inp, cfg, "Central", idx)
+
+    a = np.asarray(dev.map_xyz)[np.asarray(dev.map_mask)]
+    b = np.asarray(host.map_xyz)[np.asarray(host.map_mask)]
+    # voxelized IoU of the two session maps
+    va = {tuple(v) for v in np.floor(a / 0.1).astype(np.int64)}
+    vb = {tuple(v) for v in np.floor(b / 0.1).astype(np.int64)}
+    iou = len(va & vb) / len(va | vb)
+    assert iou > 0.97, iou
+
+
 def test_keyframe_padding_invariance(bundle, result):
     """max_keyframes > actual keyframes must not change any result: padded
     pose entries are identity matrices — a phantom viewpoint at the global

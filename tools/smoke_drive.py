@@ -53,7 +53,7 @@ def main():
     cfg_path = os.path.join(root, "params.yaml")
     save_yaml(cfg, cfg_path)
 
-    rc = removert_main(["--config", cfg_path])
+    rc = removert_main(["--config", cfg_path, "--resume"])
     assert rc == 0, f"CLI exited {rc}"
 
     out = cfg.save_pcd_directory
@@ -73,6 +73,19 @@ def main():
     # sanity: the updated map must keep most of the shared world
     n_updated = len(read_pcd(os.path.join(out, "updated_map.pcd")))
     assert n_updated > 10_000, f"updated map suspiciously small: {n_updated}"
+
+    # --resume: unchanged inputs+config must skip the whole stage
+    import time
+
+    mtime = os.path.getmtime(os.path.join(out, "updated_map.pcd"))
+    t0 = time.perf_counter()
+    rc = removert_main(["--config", cfg_path, "--resume"])
+    dt = time.perf_counter() - t0
+    assert rc == 0, f"resume CLI exited {rc}"
+    assert os.path.getmtime(os.path.join(out, "updated_map.pcd")) == mtime, \
+        "resume re-ran an unchanged stage"
+    assert dt < 10.0, f"resume skip took {dt:.1f}s — stage cache not hit"
+    print(f"  --resume skip: {dt:.2f}s, artifacts untouched")
     print("SMOKE DRIVE OK")
 
 
