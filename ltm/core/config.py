@@ -146,8 +146,11 @@ class RemovertConfig:
     # precleaning (``Removerter.cpp:1660``, ``Session.cpp:506-533``)
     preclean_radius: float = 2.5
     preclean_z_band: float = 0.5
-    # batched preclean+downsample on device (vs a serial host loop)
-    device_scan_prep: bool = True
+    # batched preclean+downsample on device (one vmapped program; transfers
+    # RAW scans — best when host<->device bandwidth is plentiful and host
+    # CPU scarce).  False = thread-pooled native host prep with a transfer
+    # of only the downsampled rows (~8x fewer bytes; best on thin links).
+    device_scan_prep: bool = False
 
     # density / kNN
     downsample_voxel_size: float = 0.05

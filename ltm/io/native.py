@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -22,6 +23,7 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.pa
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libltm_native.so")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_load_lock = threading.Lock()
 
 
 def _configure(lib: ctypes.CDLL) -> ctypes.CDLL:
@@ -48,17 +50,25 @@ def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
-    _tried = True
-    if not os.path.exists(_LIB_PATH):
+    # locked first load: concurrent callers (the session-build thread pool)
+    # must never observe _tried=True with _lib still unset — that would
+    # silently route some scans through the NumPy fallback, whose
+    # first-point-per-voxel semantics differ from the native centroid
+    with _load_lock:
+        if _lib is not None or _tried:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True, timeout=120)
+            except Exception:
+                _tried = True
+                return None
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
-            return None
-    try:
-        _lib = _configure(ctypes.CDLL(_LIB_PATH))
-    except OSError:
-        _lib = None
+            _lib = _configure(ctypes.CDLL(_LIB_PATH))
+        except OSError:
+            _lib = None
+        _tried = True
     return _lib
 
 

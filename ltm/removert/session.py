@@ -200,18 +200,33 @@ class RemovertSession:
             scans_xyz = jnp.zeros((k_cap, s_cap, 3), jnp.float32).at[:K].set(ds_xyz[:K])
             scans_mask = jnp.zeros((k_cap, s_cap), bool).at[:K].set(ds_mask[:K])
         else:
-            xyz = np.zeros((k_cap, s_cap, 3), np.float32)
-            msk = np.zeros((k_cap, s_cap), bool)
-            for out_i, scan_i in enumerate(kf):
-                scan = _preclean(np.asarray(inp.scans[scan_i], np.float32), cfg.preclean_radius, cfg.preclean_z_band)
+            # thread-pooled host prep (the native voxel grid releases the
+            # GIL), then a transfer of only the REAL keyframe rows + lengths
+            # — masks are contiguous-front, so lengths suffice and the
+            # padded k_cap/mask layout is materialized device-side
+            import os
+            from concurrent.futures import ThreadPoolExecutor
+
+            k_pad = ((K + 7) // 8) * 8
+            xyz = np.zeros((k_pad, s_cap, 3), np.float32)
+            lens = np.zeros(k_pad, np.int32)
+
+            def prep_one(out_i, scan_i):
+                scan = _preclean(np.asarray(inp.scans[scan_i], np.float32),
+                                 cfg.preclean_radius, cfg.preclean_z_band)
                 pts = _voxel_downsample_host(scan[:, :3], cfg.downsample_voxel_size).astype(np.float32)
                 if len(pts) > s_cap:
                     sel = np.linspace(0, len(pts) - 1, s_cap).astype(np.int64)
                     pts = pts[sel]
                 xyz[out_i, : len(pts)] = pts
-                msk[out_i, : len(pts)] = True
-            scans_xyz = jnp.asarray(xyz)
-            scans_mask = jnp.asarray(msk)
+                lens[out_i] = len(pts)
+
+            with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+                list(ex.map(prep_one, range(K), kf))
+            xyz_j = jnp.asarray(xyz)
+            mask_rows = jnp.arange(s_cap, dtype=jnp.int32)[None, :] < jnp.asarray(lens)[:, None]
+            scans_xyz = jnp.zeros((k_cap, s_cap, 3), jnp.float32).at[:K].set(xyz_j[:K])
+            scans_mask = jnp.zeros((k_cap, s_cap), bool).at[:K].set(mask_rows[:K])
         poses_j = jnp.asarray(poses)
         poses_inv = jnp.asarray(np.linalg.inv(poses.astype(np.float64)).astype(np.float32))
         map_xyz, map_mask, nvox = _merge_global(

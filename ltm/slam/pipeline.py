@@ -300,6 +300,7 @@ class LTSlam:
         """Run fixed-shape ICPs in vmapped chunks; returns list of results."""
         cfg = self.cfg.icp
         results = []
+        iter_counts = []
         for c0 in range(0, len(pair_data), chunk):
             batch = pair_data[c0 : c0 + chunk]
             inits = init_transforms[c0 : c0 + chunk]
@@ -323,8 +324,14 @@ class LTSlam:
             )
             T = np.asarray(res.transform)
             fit = np.asarray(res.fitness)
-            for b in range(len(pair_data[c0 : c0 + chunk])):
+            n_real = len(pair_data[c0 : c0 + chunk])
+            iter_counts.extend(np.asarray(res.iterations)[:n_real].tolist())
+            for b in range(n_real):
                 results.append((T[b], float(fit[b])))
+        if iter_counts:
+            it = np.asarray(iter_counts)
+            log.info("ICP iterations over %d pairs: min %d / median %d / p90 %d / max %d",
+                     len(it), it.min(), int(np.median(it)), int(np.percentile(it, 90)), it.max())
         return results
 
     def _add_sc_loops(self, source_idx: int, sc_pairs, sc_yaws, target_idx: int = 0) -> int:

@@ -44,6 +44,10 @@ def synth_session(rng, n_kf, n_pts, traj=1200.0, lateral=45.0, phase=0.0):
 
 
 def main() -> None:
+    from ltm.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
 
     from ltm.core.config import RemovertConfig

@@ -28,6 +28,10 @@ def _t(label, fn):
 
 
 def main() -> None:
+    from ltm.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from ltm.core.config import RemovertConfig
     from ltm.removert.pipeline import Removerter
     from ltm.removert.session import RemovertSession, parse_keyframe_indices, parse_keyframes_in_roi

@@ -38,6 +38,10 @@ def bench(fn, reps=3):
 
 
 def main() -> None:
+    from ltm.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
