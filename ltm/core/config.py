@@ -193,20 +193,25 @@ class RemovertConfig:
         0.0, 0.0, 0.0, 1.0,
     )
 
-    # padded capacities (TPU fixed shapes)
-    max_keyframes: int = 128
+    # padded capacities (TPU fixed shapes).  ``None`` = auto-size from the
+    # data (pow-2 bucketed to bound recompiles) — nothing is ever silently
+    # truncated; explicitly set values escalate with a warning if the data
+    # does not fit.
+    max_keyframes: Optional[int] = None
     scan_capacity: int = 16384
-    map_capacity: int = 1 << 20
+    map_capacity: Optional[int] = None
 
     # block-structured map (ltm.kernels.blocks): per-keyframe locality for
-    # the visibility sweeps — the big-map fast path.  block_max_range must be
-    # >= max scan range + valid_diff_upper_bound for exactness of the
-    # reversed-diff (ND) checks.
-    use_block_map: bool = False
-    block_cell_size: float = 50.0
-    n_blocks: int = 256
-    block_capacity: int = 4096
-    k_blocks: int = 64
+    # the visibility sweeps — the big-map fast path, ON by default.
+    # ``n_blocks``/``k_blocks`` auto-size from the real point count and the
+    # session viewpoints (``required_k_blocks`` keeps sweeps exact);
+    # block_max_range must be >= max scan range + valid_diff_upper_bound for
+    # exactness of the reversed-diff (ND) checks.
+    use_block_map: bool = True
+    block_cell_size: float = 25.0
+    n_blocks: Optional[int] = None
+    block_capacity: int = 256
+    k_blocks: Optional[int] = None
     block_max_range: float = 400.0
 
 

@@ -107,8 +107,15 @@ class Removerter:
         log.info("central: %d keyframes, %d map pts | query: %d keyframes, %d map pts",
                  central.num_keyframes, int(central.map_mask.sum()),
                  query.num_keyframes, int(query.map_mask.sum()))
+        # exact block budgets: every sweep selects blocks from SOME session's
+        # viewpoints (ND/PD filters sweep one session's map from the other's
+        # keyframes), so each map's k_blocks is sized over the union of both
+        # sessions' origins — no in-range block is ever truncated
+        origins = np.concatenate([
+            np.asarray(s.poses)[: s.num_keyframes, :3, 3] for s in (central, query)
+        ]) if (central.num_keyframes + query.num_keyframes) else np.zeros((0, 3))
         for sess in (central, query):
-            self._check_block_coverage(sess)
+            self._size_k_blocks(sess, origins)
 
         # ---------------- Step 1: high-dynamic removal --------------------
         with stage_timer("removert.high_dynamic", log):
@@ -125,7 +132,7 @@ class Removerter:
                     sess.masks["proj_static"] = block_sweep_visibility(
                         sess.bm, sess.masks["static"],
                         sess.poses_inv[:K], sess.poses[:K], fov, proj_shape,
-                        k_blocks=min(cfg.k_blocks, sess.bm.num_blocks),
+                        k_blocks=sess.k_blocks,
                         max_range=cfg.block_max_range,
                     )
                 else:
@@ -185,24 +192,28 @@ class Removerter:
         return result
 
     # ------------------------------------------------------------------
-    def _check_block_coverage(self, sess: RemovertSession):
-        """Exactness guard: every keyframe's range ball must fit in k_blocks,
-        otherwise the block sweeps would silently drop map regions."""
+    def _size_k_blocks(self, sess: RemovertSession, origins: np.ndarray):
+        """Exactness auto-sizing: every viewpoint's range ball must fit in
+        k_blocks, otherwise the block sweeps would silently drop map regions
+        (``required_k_blocks`` computes the exact budget).  An explicit
+        ``cfg.k_blocks`` is honored as a floor but escalated when too small."""
         if sess.bm is None:
+            sess.k_blocks = None
             return
         cfg = self.cfg
-        centers = np.asarray(sess.bm.centers)
-        radius = np.asarray(sess.bm.radius)
-        valid = np.asarray(sess.bm.block_valid)
-        origins = np.asarray(sess.poses)[: sess.num_keyframes, :3, 3]
-        d = np.linalg.norm(centers[None] - origins[:, None], axis=-1) - radius[None]
-        counts = ((d <= cfg.block_max_range) & valid[None]).sum(axis=1)
-        if counts.max(initial=0) > cfg.k_blocks:
-            raise ValueError(
-                f"{sess.sess_type}: up to {int(counts.max())} blocks intersect a "
-                f"keyframe's {cfg.block_max_range} m ball but k_blocks={cfg.k_blocks}; "
-                "raise k_blocks (or block_cell_size) to keep block sweeps exact"
-            )
+        from ltm.kernels.blocks import required_k_blocks
+
+        need = required_k_blocks(sess.bm, origins, cfg.block_max_range)
+        kb = need
+        if cfg.k_blocks is not None:
+            if cfg.k_blocks < need:
+                log.warning(
+                    "%s: k_blocks=%d would truncate in-range blocks (need %d) — "
+                    "escalating to keep sweeps exact", sess.sess_type, cfg.k_blocks, need)
+            kb = min(max(cfg.k_blocks, need), sess.bm.num_blocks)
+        sess.k_blocks = kb
+        log.info("%s: block map %d blocks x %d cap, k_blocks=%d",
+                 sess.sess_type, sess.bm.num_blocks, sess.bm.block_capacity, kb)
 
     def _sweep(self, sess: RemovertSession, mask, fov, res):
         shape = rimg_shape(fov, res)
@@ -212,7 +223,7 @@ class Removerter:
             return block_sweep_discrepancy(
                 bm, sess.scans_xyz[:K], sess.scans_mask[:K],
                 sess.poses_inv[:K], sess.poses[:K],
-                fov, shape, k_blocks=min(self.cfg.k_blocks, bm.num_blocks),
+                fov, shape, k_blocks=sess.k_blocks,
                 max_range=self.cfg.block_max_range,
                 diff_threshold=self.cfg.diff_threshold, reverse=False,
             )
@@ -301,7 +312,7 @@ class Removerter:
             imgs = block_projected_scan_images(
                 source.bm, source.masks["static"],
                 source.poses_inv[:Ks], source.poses[:Ks], fov, shape, proj_shape,
-                k_blocks=min(cfg.k_blocks, source.bm.num_blocks),
+                k_blocks=source.k_blocks,
                 max_range=cfg.block_max_range,
             )
         else:
@@ -313,7 +324,7 @@ class Removerter:
             if use_blocks:
                 flagged = block_sweep_discrepancy_vs_images(
                     sess.bm, cur, imgs, source.poses_inv[:Ks], source.poses[:Ks],
-                    fov, shape, k_blocks=min(cfg.k_blocks, sess.bm.num_blocks),
+                    fov, shape, k_blocks=sess.k_blocks,
                     max_range=cfg.block_max_range,
                     diff_threshold=cfg.diff_threshold, reverse=reverse,
                 )

@@ -158,16 +158,27 @@ class RemovertSession:
     map_mask: jax.Array              # (N,) valid map points
     masks: Dict[str, jax.Array] = field(default_factory=dict)  # named partitions
     bm: Optional[BlockMap] = None    # block layout of the same points (fast path)
+    k_blocks: Optional[int] = None   # exact per-sweep block budget (pipeline fills)
 
     @classmethod
     def build(cls, inp: RemovertInput, cfg: RemovertConfig, sess_type: str,
               keyframe_indices: np.ndarray) -> "RemovertSession":
-        k_cap = cfg.max_keyframes
-        s_cap = cfg.scan_capacity
         kf = np.asarray(keyframe_indices)
-        if len(kf) > k_cap:
-            kf = kf[:k_cap]
         K = len(kf)
+        # keyframe capacity: auto = pow-2 bucket of the real count (bounds
+        # recompiles across sessions of similar size); an explicit cap that
+        # is too small escalates with a warning — NEVER silently truncates
+        k_auto = 1 << max(3, (max(K, 1) - 1).bit_length())
+        if cfg.max_keyframes is None:
+            k_cap = k_auto
+        elif cfg.max_keyframes < K:
+            log.warning("%s: max_keyframes=%d < %d parsed keyframes — "
+                        "escalating capacity to %d (use keyframe_gap to subsample)",
+                        sess_type, cfg.max_keyframes, K, k_auto)
+            k_cap = k_auto
+        else:
+            k_cap = cfg.max_keyframes
+        s_cap = cfg.scan_capacity
 
         lidar2base = np.asarray(cfg.extrinsic_lidar_to_base, np.float64).reshape(4, 4)
         poses = np.tile(np.eye(4, dtype=np.float32), (k_cap, 1, 1))
@@ -210,12 +221,14 @@ class RemovertSession:
             k_pad = ((K + 7) // 8) * 8
             xyz = np.zeros((k_pad, s_cap, 3), np.float32)
             lens = np.zeros(k_pad, np.int32)
+            n_trunc = np.zeros(k_pad, np.int32)
 
             def prep_one(out_i, scan_i):
                 scan = _preclean(np.asarray(inp.scans[scan_i], np.float32),
                                  cfg.preclean_radius, cfg.preclean_z_band)
                 pts = _voxel_downsample_host(scan[:, :3], cfg.downsample_voxel_size).astype(np.float32)
                 if len(pts) > s_cap:
+                    n_trunc[out_i] = len(pts) - s_cap
                     sel = np.linspace(0, len(pts) - 1, s_cap).astype(np.int64)
                     pts = pts[sel]
                 xyz[out_i, : len(pts)] = pts
@@ -223,28 +236,62 @@ class RemovertSession:
 
             with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
                 list(ex.map(prep_one, range(K), kf))
+            if n_trunc.any():
+                log.warning("%s: %d/%d scans exceed scan_capacity=%d voxels — "
+                            "uniformly subsampled (%d points dropped); raise "
+                            "scan_capacity for full density", sess_type,
+                            int((n_trunc > 0).sum()), K, s_cap, int(n_trunc.sum()))
             xyz_j = jnp.asarray(xyz)
             mask_rows = jnp.arange(s_cap, dtype=jnp.int32)[None, :] < jnp.asarray(lens)[:, None]
             scans_xyz = jnp.zeros((k_cap, s_cap, 3), jnp.float32).at[:K].set(xyz_j[:K])
             scans_mask = jnp.zeros((k_cap, s_cap), bool).at[:K].set(mask_rows[:K])
         poses_j = jnp.asarray(poses)
         poses_inv = jnp.asarray(np.linalg.inv(poses.astype(np.float64)).astype(np.float32))
+        # map capacity: merge once at the configured/guessed capacity, then
+        # re-merge at the pow-2 bucket of the TRUE voxel count when the guess
+        # was wrong — auto mode both escalates (never drops voxels) and
+        # shrinks (padded capacity costs every downstream stage)
+        cap = cfg.map_capacity if cfg.map_capacity is not None else (1 << 20)
+        valid_scan_mask = scans_mask & valid[:, None]
         map_xyz, map_mask, nvox = _merge_global(
-            scans_xyz, scans_mask & valid[:, None], poses_j, cfg.downsample_voxel_size, cfg.map_capacity
+            scans_xyz, valid_scan_mask, poses_j, cfg.downsample_voxel_size, cap
         )
-        if int(nvox) > cfg.map_capacity:
-            raise ValueError(
-                f"{sess_type}: {int(nvox)} voxels exceed map_capacity {cfg.map_capacity}"
+        n_real = int(nvox)
+        want = 1 << max(12, (max(n_real, 1) - 1).bit_length())
+        if cfg.map_capacity is None:
+            if want != cap:
+                map_xyz, map_mask, nvox = _merge_global(
+                    scans_xyz, valid_scan_mask, poses_j, cfg.downsample_voxel_size, want
+                )
+        elif n_real > cap:
+            log.warning("%s: %d voxels exceed map_capacity=%d — escalating to %d",
+                        sess_type, n_real, cap, want)
+            map_xyz, map_mask, nvox = _merge_global(
+                scans_xyz, valid_scan_mask, poses_j, cfg.downsample_voxel_size, want
             )
         bm = None
         if cfg.use_block_map:
-            bm, overflow = build_block_map(
-                map_xyz, map_mask, cfg.block_cell_size, cfg.n_blocks, cfg.block_capacity
-            )
-            if int(overflow) > 0:
+            # auto block budget: ~2x slack over the perfectly packed count
+            # (cells spill partial blocks); doubling handles sparse maps
+            b_cap = cfg.block_capacity
+            if cfg.n_blocks is not None:
+                n_blocks = cfg.n_blocks
+            else:
+                need = max((n_real * 2 + b_cap - 1) // b_cap, 1)
+                n_blocks = 1 << (need - 1).bit_length()
+            for _attempt in range(6):
+                bm, overflow = build_block_map(
+                    map_xyz, map_mask, cfg.block_cell_size, n_blocks, b_cap
+                )
+                if int(overflow) == 0:
+                    break
+                log.warning("%s: block map overflow (%d pts) at n_blocks=%d — doubling",
+                            sess_type, int(overflow), n_blocks)
+                n_blocks *= 2
+            else:
                 raise ValueError(
-                    f"{sess_type}: block map overflow {int(overflow)} pts; raise "
-                    f"n_blocks ({cfg.n_blocks}) or block_capacity ({cfg.block_capacity})"
+                    f"{sess_type}: block map overflow persists at n_blocks={n_blocks}; "
+                    f"raise block_capacity ({b_cap}) or block_cell_size ({cfg.block_cell_size})"
                 )
             # the blocked flat layout becomes the canonical map layout so all
             # downstream masks index it directly

@@ -158,10 +158,10 @@ def test_artifacts_written(result):
     assert pts.shape[0] > 100
 
 
-@pytest.mark.slow
 def test_block_map_pipeline_matches_flat(bundle, result):
-    """The block-local fast path must reproduce the flat pipeline's masks."""
-    res, _ = result
+    """The default (auto-sized block-local) pipeline must reproduce the flat
+    whole-map pipeline's masks exactly — no block tuning keys set anywhere."""
+    res, _ = result   # default config = block map path, auto layout/k_blocks
     cfg = RemovertConfig()
     cfg.max_keyframes = NUM_KF
     cfg.scan_capacity = 40960
@@ -170,18 +170,14 @@ def test_block_map_pipeline_matches_flat(bundle, result):
     cfg.knn_avg_sqdist_threshold = 0.04
     cfg.keyframe_gap = 1
     cfg.end_idx = 10_000
-    cfg.use_block_map = True
-    cfg.block_cell_size = 25.0
-    cfg.n_blocks = 256
-    cfg.block_capacity = 1024
-    cfg.k_blocks = 192
-    cfg.block_max_range = 400.0
-    res_b = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]))
+    cfg.save_high_dyn_maps = False
+    cfg.use_block_map = False       # the reference-shaped whole-map sweep
+    res_f = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]))
 
     # same point sets for every named mask (layouts differ -> compare as sets)
     for name in ("static_c", "dynamic_c", "nd", "nd_strong", "pd", "updated"):
         a = res.points(name)
-        b = res_b.points(name)
+        b = res_f.points(name)
         assert len(a) == len(b), (name, len(a), len(b))
         a = a[np.lexsort(a.T)]
         b = b[np.lexsort(b.T)]
@@ -214,6 +210,41 @@ def test_device_scan_prep_matches_host(bundle):
     vb = {tuple(v) for v in np.floor(b / 0.1).astype(np.int64)}
     iou = len(va & vb) / len(va | vb)
     assert iou > 0.97, iou
+
+
+def test_no_silent_truncation():
+    """Capacities auto-size from the data: more keyframes than an explicit
+    max_keyframes escalates (with a warning) instead of silently dropping
+    scans, and map_capacity=None buckets to the true voxel count."""
+    from ltm.removert.session import RemovertSession, parse_keyframe_indices
+
+    rng = np.random.default_rng(3)
+    n_kf = 40
+    scans = [rng.uniform(-20, 20, (400, 3)).astype(np.float32) for _ in range(n_kf)]
+    poses = np.tile(np.eye(4), (n_kf, 1, 1))
+    poses[:, 0, 3] = np.arange(n_kf) * 2.0
+    inp = RemovertInput(scans=scans, poses=poses)
+
+    cfg = RemovertConfig()
+    cfg.max_keyframes = 16            # too small: must escalate, not truncate
+    cfg.scan_capacity = 1024
+    cfg.use_block_map = False
+    idx = parse_keyframe_indices(n_kf, 0, 10_000, 1)
+    sess = RemovertSession.build(inp, cfg, "Central", idx)
+    assert sess.num_keyframes == n_kf                 # nothing dropped
+    assert sess.poses.shape[0] >= n_kf
+    n_pts = int(sess.map_mask.sum())
+    assert n_pts > 0
+    # auto map capacity (None) = pow-2 bucket of the true voxel count
+    assert sess.map_xyz.shape[0] == max(4096, 1 << (n_pts - 1).bit_length())
+
+    # auto keyframe capacity: pow-2 bucket, no config needed
+    cfg2 = RemovertConfig()
+    cfg2.scan_capacity = 1024
+    cfg2.use_block_map = False
+    sess2 = RemovertSession.build(inp, cfg2, "Central", idx)
+    assert sess2.num_keyframes == n_kf
+    assert sess2.poses.shape[0] == 64
 
 
 def test_keyframe_padding_invariance(bundle, result):
