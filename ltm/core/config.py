@@ -101,6 +101,11 @@ class LTSlamConfig:
     max_nodes_per_session: int = 1024
     scan_capacity: int = 8192
 
+    # device mesh: shard the hot loops (SC scoring, ICP batches, LM solve)
+    # across this many local devices (None/1 = single device; -1 = all).
+    # The reference's analog is its default-on OpenMP (``LTslam.cpp:389,534``).
+    mesh_devices: Optional[int] = None
+
     scan_context: ScanContextConfig = field(default_factory=ScanContextConfig)
     icp: ICPConfig = field(default_factory=ICPConfig)
     solver: SolverConfig = field(default_factory=SolverConfig)
@@ -184,6 +189,11 @@ class RemovertConfig:
     chunk_knn_block_capacity: int = 128
     chunk_knn_block_slack: int = 4
     chunk_knn_sort_cell: float = 4.0
+
+    # device mesh: shard the hot loops (visibility sweeps, kNN chunks)
+    # across this many local devices (None/1 = single device; -1 = all).
+    # The reference's analog is its default-on OpenMP (``Session.cpp:408,491``).
+    mesh_devices: Optional[int] = None
 
     # extrinsic lidar->base (row-major 4x4)
     extrinsic_lidar_to_base: Tuple[float, ...] = (

@@ -8,3 +8,13 @@ from ltm.dist.sharding import (  # noqa: F401
     sweep_discrepancy_sharded,
 )
 from ltm.dist.solver import pad_graph_for_mesh, solve_sharded  # noqa: F401
+from ltm.dist.removert import (  # noqa: F401
+    block_projected_scan_images_sharded,
+    block_sweep_discrepancy_sharded,
+    block_sweep_discrepancy_vs_images_sharded,
+    block_sweep_visibility_sharded,
+    chunk_knn_sqdists_sharded,
+    projected_scan_images_sharded,
+    sweep_discrepancy_vs_images_sharded,
+    sweep_visibility_sharded,
+)

@@ -15,7 +15,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-__all__ = ["make_mesh", "pad_to_multiple"]
+__all__ = ["make_mesh", "mesh_from_config", "pad_to_multiple"]
 
 KF_AXIS = "kf"
 
@@ -23,6 +23,18 @@ KF_AXIS = "kf"
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = KF_AXIS) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     return Mesh(np.array(devices), (axis,))
+
+
+def mesh_from_config(mesh_devices: Optional[int]) -> Optional[Mesh]:
+    """Mesh over the first ``mesh_devices`` local devices (the drivers'
+    ``cfg.mesh_devices`` contract: None/0/1 = single device, -1 = all)."""
+    if not mesh_devices or mesh_devices == 1:
+        return None
+    devs = jax.devices()
+    count = len(devs) if mesh_devices == -1 else min(mesh_devices, len(devs))
+    if count <= 1:
+        return None
+    return make_mesh(devs[:count])
 
 
 def pad_to_multiple(arr, multiple: int, axis: int = 0, fill=0):

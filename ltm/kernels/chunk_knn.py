@@ -71,49 +71,36 @@ def _spread3(v: jax.Array) -> jax.Array:
     return v
 
 
-@partial(jax.jit, static_argnames=("clamp_radius", "k", "chunk", "k_blocks",
-                                   "sort_cell"))
-def chunk_knn_sqdists(
-    query_xyz: jax.Array,        # (N, 3)
-    query_mask: jax.Array,       # (N,)
-    bm: BlockMap,                # target block layout
-    target_extra: jax.Array | None,  # (n_blocks*cap,) subset mask or None
-    clamp_radius: float,
-    k: int = 2,
-    chunk: int = 512,
-    k_blocks: int = 64,
-    sort_cell: float = 25.0,
-):
-    """ChunkKnnResult: (N, k) clamped ascending squared distances, plus the
-    per-chunk machinery callers need for the overflow fallback.
+def _block_bounds(bm: BlockMap, target_extra):
+    """(t_mask, bval, blo, bhi): valid-subset mask + tight per-block AABBs.
 
-    Invalid queries get _BIG rows.  See module docstring for the exactness
-    contract and overflow semantics.
-    """
-    n = query_xyz.shape[0]
-    r2 = jnp.float32(clamp_radius * clamp_radius)
-    cap = bm.block_capacity
-
+    The ball-ball test |center-block_center| - block_radius inflates every
+    selection by the block radius (~cell_size·√3/2); the point-to-AABB
+    distance doesn't, which cuts selected blocks ~3-4x on spill-heavy dense
+    maps."""
     t_mask = bm.mask
     if target_extra is not None:
-        t_mask = t_mask & target_extra.reshape(bm.num_blocks, cap)
+        t_mask = t_mask & target_extra.reshape(bm.num_blocks, bm.block_capacity)
     bval = jnp.any(t_mask, axis=1)
-    # tight per-block AABBs (over the *valid target subset*): the ball-ball
-    # test |center-block_center| - block_radius inflates every selection by
-    # the block radius (~cell_size·√3/2); the point-to-AABB distance doesn't,
-    # which cuts selected blocks ~3-4x on spill-heavy dense maps
     mfill = t_mask[..., None]
     blo = jnp.min(jnp.where(mfill, bm.xyz, jnp.inf), axis=1)    # (n_blocks, 3)
     bhi = jnp.max(jnp.where(mfill, bm.xyz, -jnp.inf), axis=1)
+    return t_mask, bval, blo, bhi
 
-    # spatial sort in Morton (Z-curve) order: raster/lexicographic order
-    # produces wrap-around chunks at every row transition (a chunk spanning
-    # y=max → y=min has a bounding ball covering the whole cross-section,
-    # forcing k_blocks toward n_blocks); Morton keeps contiguous index
-    # ranges spatially compact, so chunk balls stay ~chunk-sized.
-    # Cells are offset by the data minimum, NOT a fixed constant: a fixed
-    # offset parks the densest region on a high-bit Morton seam (cells
-    # 511↔512 differ in every bit), which measured 3-5x wider chunk balls
+
+def _prep_sorted_chunks(query_xyz, query_mask, chunk: int, sort_cell: float):
+    """Morton-sort queries and split into fixed chunks.
+
+    Returns (qx (C,chunk,3), qm (C,chunk), order (N,)).  Z-curve order:
+    raster/lexicographic order produces wrap-around chunks at every row
+    transition (a chunk spanning y=max → y=min has a bounding ball covering
+    the whole cross-section, forcing k_blocks toward n_blocks); Morton keeps
+    contiguous index ranges spatially compact, so chunk balls stay
+    ~chunk-sized.  Cells are offset by the data minimum, NOT a fixed
+    constant: a fixed offset parks the densest region on a high-bit Morton
+    seam (cells 511↔512 differ in every bit), which measured 3-5x wider
+    chunk balls."""
+    n = query_xyz.shape[0]
     coords = jnp.floor(query_xyz / sort_cell).astype(jnp.int32)
     cmin = jnp.min(jnp.where(query_mask[:, None], coords, jnp.int32(2**30)), axis=0)
     coords = jnp.clip(coords - cmin, 0, 1023)
@@ -125,8 +112,17 @@ def chunk_knn_sqdists(
     pad = n_pad - n
     qx = jnp.pad(query_xyz[order], ((0, pad), (0, 0)))
     qm = jnp.pad(query_mask[order], ((0, pad),), constant_values=False)
-    qx = qx.reshape(-1, chunk, 3)
-    qm = qm.reshape(-1, chunk)
+    return qx.reshape(-1, chunk, 3), qm.reshape(-1, chunk), order
+
+
+@partial(jax.jit, static_argnames=("clamp_radius", "k", "k_blocks"))
+def _scan_chunks(qx, qm, bm_xyz, t_mask, bval, blo, bhi,
+                 clamp_radius: float, k: int, k_blocks: int):
+    """The per-chunk gather+score scan over a leading chunk axis — the
+    sharding unit of the distributed kNN path (chunks are embarrassingly
+    parallel).  Returns (chunk_overflow (C,), d (C, chunk, k))."""
+    chunk = qx.shape[1]
+    r2 = jnp.float32(clamp_radius * clamp_radius)
 
     def body(_, inp):
         qc, qmc = inp                                     # (chunk,3), (chunk,)
@@ -154,7 +150,7 @@ def chunk_knn_sqdists(
         neg, sel = jax.lax.top_k(-score, k_blocks)
         sel_ok = jnp.isfinite(neg)
 
-        cand = bm.xyz[sel].reshape(-1, 3)                 # block-granular gather
+        cand = bm_xyz[sel].reshape(-1, 3)                 # block-granular gather
         cmask = (t_mask[sel] & sel_ok[:, None]).reshape(-1)
         # direct-form squared distances, NOT the |q|²+|t|²-2q·t matmul form:
         # at |coord| ~ 2 km the matmul form carries ~|x|²·eps ≈ 0.5 m² of
@@ -184,6 +180,33 @@ def chunk_knn_sqdists(
         return jnp.maximum(n_int - k_blocks, 0).astype(jnp.int32), out
 
     _, (chunk_overflow, d) = jax.lax.scan(body, None, (qx, qm))
+    return chunk_overflow, d
+
+
+@partial(jax.jit, static_argnames=("clamp_radius", "k", "chunk", "k_blocks",
+                                   "sort_cell"))
+def chunk_knn_sqdists(
+    query_xyz: jax.Array,        # (N, 3)
+    query_mask: jax.Array,       # (N,)
+    bm: BlockMap,                # target block layout
+    target_extra: jax.Array | None,  # (n_blocks*cap,) subset mask or None
+    clamp_radius: float,
+    k: int = 2,
+    chunk: int = 512,
+    k_blocks: int = 64,
+    sort_cell: float = 25.0,
+):
+    """ChunkKnnResult: (N, k) clamped ascending squared distances, plus the
+    per-chunk machinery callers need for the overflow fallback.
+
+    Invalid queries get _BIG rows.  See module docstring for the exactness
+    contract and overflow semantics.
+    """
+    n = query_xyz.shape[0]
+    t_mask, bval, blo, bhi = _block_bounds(bm, target_extra)
+    qx, qm, order = _prep_sorted_chunks(query_xyz, query_mask, chunk, sort_cell)
+    chunk_overflow, d = _scan_chunks(qx, qm, bm.xyz, t_mask, bval, blo, bhi,
+                                     clamp_radius, k, k_blocks)
     res = jnp.full((n, k), _BIG, jnp.float32).at[order].set(d.reshape(-1, k)[:n])
     return ChunkKnnResult(res, chunk_overflow, order.astype(jnp.int32))
 

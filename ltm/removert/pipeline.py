@@ -90,6 +90,16 @@ class Removerter:
         self.cfg = cfg or RemovertConfig()
         # id-keyed (map_array, BlockMap, slots) — see _knn_block_map
         self._kbm_cache: dict = {}
+        # device mesh for the hot loops (cfg.mesh_devices; the reference's
+        # OpenMP-by-default analog at chip scale, Session.cpp:408,491)
+        self.mesh = None
+        if self.cfg.mesh_devices not in (None, 0, 1):
+            from ltm.dist.mesh import mesh_from_config
+
+            self.mesh = mesh_from_config(self.cfg.mesh_devices)
+            if self.mesh is not None:
+                log.info("removert: sharding hot loops over %d devices",
+                         self.mesh.devices.size)
 
     # ------------------------------------------------------------------
     def run(self, central_inp: RemovertInput, query_inp: RemovertInput,
@@ -129,11 +139,27 @@ class Removerter:
                 # matrices, i.e. a phantom viewpoint at the global origin
                 K = sess.num_keyframes
                 if sess.bm is not None:
-                    sess.masks["proj_static"] = block_sweep_visibility(
-                        sess.bm, sess.masks["static"],
-                        sess.poses_inv[:K], sess.poses[:K], fov, proj_shape,
-                        k_blocks=sess.k_blocks,
-                        max_range=cfg.block_max_range,
+                    if self.mesh is not None:
+                        from ltm.dist.removert import block_sweep_visibility_sharded
+
+                        sess.masks["proj_static"] = block_sweep_visibility_sharded(
+                            self.mesh, sess.bm, sess.masks["static"],
+                            sess.poses_inv[:K], sess.poses[:K], fov, proj_shape,
+                            k_blocks=sess.k_blocks, max_range=cfg.block_max_range,
+                        )
+                    else:
+                        sess.masks["proj_static"] = block_sweep_visibility(
+                            sess.bm, sess.masks["static"],
+                            sess.poses_inv[:K], sess.poses[:K], fov, proj_shape,
+                            k_blocks=sess.k_blocks,
+                            max_range=cfg.block_max_range,
+                        )
+                elif self.mesh is not None:
+                    from ltm.dist.removert import sweep_visibility_sharded
+
+                    sess.masks["proj_static"] = sweep_visibility_sharded(
+                        self.mesh, sess.map_xyz, sess.masks["static"],
+                        sess.poses_inv[:K], fov, proj_shape,
                     )
                 else:
                     sess.masks["proj_static"] = sweep_visibility(
@@ -220,12 +246,30 @@ class Removerter:
         K = sess.num_keyframes  # padded keyframes are masked but not free
         if sess.bm is not None:
             bm = sess.bm._replace(mask=mask.reshape(sess.bm.mask.shape))
+            if self.mesh is not None:
+                from ltm.dist.removert import block_sweep_discrepancy_sharded
+
+                return block_sweep_discrepancy_sharded(
+                    self.mesh, bm, sess.scans_xyz[:K], sess.scans_mask[:K],
+                    sess.poses_inv[:K], sess.poses[:K],
+                    fov, shape, k_blocks=sess.k_blocks,
+                    max_range=self.cfg.block_max_range,
+                    diff_threshold=self.cfg.diff_threshold, reverse=False,
+                )
             return block_sweep_discrepancy(
                 bm, sess.scans_xyz[:K], sess.scans_mask[:K],
                 sess.poses_inv[:K], sess.poses[:K],
                 fov, shape, k_blocks=sess.k_blocks,
                 max_range=self.cfg.block_max_range,
                 diff_threshold=self.cfg.diff_threshold, reverse=False,
+            )
+        if self.mesh is not None:
+            from ltm.dist.sharding import sweep_discrepancy_sharded
+
+            return sweep_discrepancy_sharded(
+                self.mesh, sess.map_xyz, mask, sess.scans_xyz[:K],
+                sess.scans_mask[:K], sess.poses_inv[:K], fov, shape,
+                self.cfg.diff_threshold, False,
             )
         return sweep_discrepancy(
             sess.map_xyz, mask, sess.scans_xyz[:K], sess.scans_mask[:K],
@@ -309,11 +353,27 @@ class Removerter:
         # identical across repeats: build the per-keyframe projected-scan
         # images ONCE, then each repeat only projects the shrinking delta set
         if use_blocks:
-            imgs = block_projected_scan_images(
-                source.bm, source.masks["static"],
-                source.poses_inv[:Ks], source.poses[:Ks], fov, shape, proj_shape,
-                k_blocks=source.k_blocks,
-                max_range=cfg.block_max_range,
+            if self.mesh is not None:
+                from ltm.dist.removert import block_projected_scan_images_sharded
+
+                imgs = block_projected_scan_images_sharded(
+                    self.mesh, source.bm, source.masks["static"],
+                    source.poses_inv[:Ks], source.poses[:Ks], fov, shape, proj_shape,
+                    k_blocks=source.k_blocks, max_range=cfg.block_max_range,
+                )
+            else:
+                imgs = block_projected_scan_images(
+                    source.bm, source.masks["static"],
+                    source.poses_inv[:Ks], source.poses[:Ks], fov, shape, proj_shape,
+                    k_blocks=source.k_blocks,
+                    max_range=cfg.block_max_range,
+                )
+        elif self.mesh is not None:
+            from ltm.dist.removert import projected_scan_images_sharded
+
+            imgs = projected_scan_images_sharded(
+                self.mesh, source.map_xyz, source.masks["static"],
+                source.poses_inv[:Ks], fov, shape, proj_shape,
             )
         else:
             imgs = projected_scan_images(
@@ -322,11 +382,31 @@ class Removerter:
             )
         for _ in range(cfg.nd_pd_filter_repeats):
             if use_blocks:
-                flagged = block_sweep_discrepancy_vs_images(
-                    sess.bm, cur, imgs, source.poses_inv[:Ks], source.poses[:Ks],
-                    fov, shape, k_blocks=sess.k_blocks,
-                    max_range=cfg.block_max_range,
-                    diff_threshold=cfg.diff_threshold, reverse=reverse,
+                if self.mesh is not None:
+                    from ltm.dist.removert import (
+                        block_sweep_discrepancy_vs_images_sharded,
+                    )
+
+                    flagged = block_sweep_discrepancy_vs_images_sharded(
+                        self.mesh, sess.bm, cur, imgs,
+                        source.poses_inv[:Ks], source.poses[:Ks],
+                        fov, shape, k_blocks=sess.k_blocks,
+                        max_range=cfg.block_max_range,
+                        diff_threshold=cfg.diff_threshold, reverse=reverse,
+                    )
+                else:
+                    flagged = block_sweep_discrepancy_vs_images(
+                        sess.bm, cur, imgs, source.poses_inv[:Ks], source.poses[:Ks],
+                        fov, shape, k_blocks=sess.k_blocks,
+                        max_range=cfg.block_max_range,
+                        diff_threshold=cfg.diff_threshold, reverse=reverse,
+                    )
+            elif self.mesh is not None:
+                from ltm.dist.removert import sweep_discrepancy_vs_images_sharded
+
+                flagged = sweep_discrepancy_vs_images_sharded(
+                    self.mesh, sess.map_xyz, cur, imgs, source.poses_inv[:Ks],
+                    fov, shape, cfg.diff_threshold, reverse,
                 )
             else:
                 flagged = sweep_discrepancy_vs_images(
@@ -378,6 +458,13 @@ class Removerter:
                 )
             d = grid_knn2_sqdists(qg, tg, num_queries=query_xyz.shape[0], k=cfg.num_knn_points)
             return jnp.mean(d, axis=-1)
+        if self.mesh is not None:
+            from ltm.dist.sharding import knn_avg_sqdist_sharded
+
+            return knn_avg_sqdist_sharded(
+                self.mesh, query_xyz, query_mask, target_xyz, target_mask,
+                k=cfg.num_knn_points, tile=8192,
+            )
         return chunked_knn_avg_sqdist(
             query_xyz, query_mask, target_xyz, target_mask,
             k=cfg.num_knn_points, tile=8192, query_chunk=16384,
@@ -432,7 +519,14 @@ class Removerter:
         not be built so the caller falls through to brute force.
         """
         cfg = self.cfg
-        from ltm.kernels.chunk_knn import chunk_knn_sqdists
+        if self.mesh is not None:
+            from functools import partial
+
+            from ltm.dist.removert import chunk_knn_sqdists_sharded
+
+            chunk_knn_sqdists = partial(chunk_knn_sqdists_sharded, self.mesh)
+        else:
+            from ltm.kernels.chunk_knn import chunk_knn_sqdists
 
         kbm, slots = self._knn_block_map(target_xyz, target_base)
         if kbm is None:

@@ -113,7 +113,6 @@ def sc_distance_matrix(
     return dist, shift
 
 
-@partial(jax.jit, static_argnames=("num_candidates", "full_shift_search", "search_ratio"))
 def detect_loops_between_sessions(
     query_descs: jax.Array,    # (Q, R, S) — source session
     query_mask: jax.Array,     # (Q,) valid query nodes
@@ -123,6 +122,7 @@ def detect_loops_between_sessions(
     num_candidates: int = 3,
     full_shift_search: bool = False,
     search_ratio: float = 0.1,
+    mesh=None,
 ):
     """Batched ``detectLoopClosureIDBetweenSession`` over every source node.
 
@@ -130,13 +130,36 @@ def detect_loops_between_sessions(
     The reference evaluates the SC distance only on the ``num_candidates``
     ring-key nearest targets and thresholds the best (``Scancontext.cpp:
     287-316``); identical here, with the kd-tree replaced by a dense
-    ring-key distance + top-k.
+    ring-key distance + top-k.  With ``mesh``, the all-pairs distance — the
+    dominant cost — shards query rows across devices
+    (``ltm.dist.sharding.sc_distance_sharded``); candidate selection stays
+    replicated (tiny).
     """
-    S = query_descs.shape[-1]
-    dist, shift = sc_distance_matrix(
-        query_descs, target_descs, full_shift_search=full_shift_search, search_ratio=search_ratio
-    )
+    if mesh is not None:
+        from ltm.dist.sharding import sc_distance_sharded
 
+        dist, shift = sc_distance_sharded(
+            mesh, query_descs, target_descs,
+            full_shift_search=full_shift_search, search_ratio=search_ratio
+        )
+    else:
+        dist, shift = sc_distance_matrix(
+            query_descs, target_descs, full_shift_search=full_shift_search, search_ratio=search_ratio
+        )
+    return _select_loops(dist, shift, query_descs, query_mask, target_descs,
+                         target_mask, dist_threshold, num_candidates)
+
+
+@partial(jax.jit, static_argnames=("num_candidates",))
+def _select_loops(
+    dist: jax.Array, shift: jax.Array,
+    query_descs: jax.Array, query_mask: jax.Array,
+    target_descs: jax.Array, target_mask: jax.Array,
+    dist_threshold: float, num_candidates: int,
+):
+    """Ring-key top-k candidate gate + best-distance thresholding over a
+    precomputed all-pairs (dist, shift)."""
+    S = query_descs.shape[-1]
     rq = ring_keys(query_descs)            # (Q, R)
     rt = ring_keys(target_descs)           # (T, R)
     rq2 = jnp.sum(rq * rq, axis=-1)

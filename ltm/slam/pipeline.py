@@ -71,6 +71,16 @@ class LTSlam:
 
     def __init__(self, cfg: Optional[LTSlamConfig] = None):
         self.cfg = cfg or LTSlamConfig()
+        # device mesh for the hot loops (cfg.mesh_devices; the reference's
+        # OpenMP-by-default analog at chip scale, LTslam.cpp:389,534)
+        self.mesh = None
+        if self.cfg.mesh_devices not in (None, 0, 1):
+            from ltm.dist.mesh import mesh_from_config
+
+            self.mesh = mesh_from_config(self.cfg.mesh_devices)
+            if self.mesh is not None:
+                log.info("ltslam: sharding SC/ICP/solver over %d devices",
+                         self.mesh.devices.size)
 
     # ------------------------------------------------------------------
     # variable layout: [anchors 0..n_sessions-1, session-0 nodes, session-1
@@ -209,7 +219,12 @@ class LTSlam:
 
     def _optimize(self):
         g = self._build_graph()
-        poses, info = solve(g, self.cfg.solver)
+        if self.mesh is not None:
+            from ltm.dist.solver import solve_sharded
+
+            poses, info = solve_sharded(g, self.mesh, self.cfg.solver)
+        else:
+            poses, info = solve(g, self.cfg.solver)
         self._estimates = np.asarray(poses, np.float64)
         self.poses0 = np.asarray(poses, np.float32)          # warm start next round
         self._last_graph = g
@@ -233,6 +248,7 @@ class LTSlam:
         loop_idx, dist, yaw = sc_retrieval.detect_loops_between_sessions(
             source.descriptors, source.node_valid,
             target.descriptors, target.node_valid,
+            mesh=self.mesh,
             **sc_retrieval.config_kwargs(cfg.scan_context),
         )
         loop_idx = np.asarray(loop_idx)
@@ -297,10 +313,15 @@ class LTSlam:
         return src_xyz, src_mask, tgt_xyz, tgt_mask
 
     def _run_icp_batches(self, pair_data, init_transforms, chunk: int = 8):
-        """Run fixed-shape ICPs in vmapped chunks; returns list of results."""
+        """Run fixed-shape ICPs in vmapped chunks (the reference's OpenMP ICP
+        farm, ``LTslam.cpp:389``); with a mesh, each chunk's batch axis also
+        shards across devices — returns list of results."""
         cfg = self.cfg.icp
         results = []
         iter_counts = []
+        if self.mesh is not None:
+            # one vmapped lane per device keeps every chip busy per chunk
+            chunk = max(chunk, self.mesh.devices.size)
         for c0 in range(0, len(pair_data), chunk):
             batch = pair_data[c0 : c0 + chunk]
             inits = init_transforms[c0 : c0 + chunk]
@@ -312,8 +333,7 @@ class LTSlam:
             sm = jnp.stack([b[1] for b in batch])
             tx = jnp.stack([b[2] for b in batch])
             tm = jnp.stack([b[3] for b in batch])
-            res = icp_batch(
-                sx, sm, tx, tm, jnp.asarray(inits, jnp.float32),
+            kw = dict(
                 max_correspondence_distance=cfg.max_correspondence_distance,
                 max_iterations=cfg.max_iterations,
                 transformation_epsilon=cfg.transformation_epsilon,
@@ -322,6 +342,13 @@ class LTSlam:
                 coarse_iterations=cfg.coarse_iterations,
                 coarse_stride=cfg.coarse_stride,
             )
+            if self.mesh is not None:
+                from ltm.dist.sharding import icp_batch_sharded
+
+                res = icp_batch_sharded(
+                    self.mesh, sx, sm, tx, tm, jnp.asarray(inits, jnp.float32), **kw)
+            else:
+                res = icp_batch(sx, sm, tx, tm, jnp.asarray(inits, jnp.float32), **kw)
             T = np.asarray(res.transform)
             fit = np.asarray(res.fitness)
             n_real = len(pair_data[c0 : c0 + chunk])

@@ -1,0 +1,112 @@
+"""Production drivers on a device mesh: the FULL ``Removerter.run`` and
+``LTSlam.run`` with ``cfg.mesh_devices=8`` on the virtual CPU mesh must
+reproduce the single-device results.
+
+This is the driver-level counterpart of tests/test_dist.py (which validates
+the sharded kernels standalone): the reference parallelizes these exact
+loops by default (``ltremovert/src/Session.cpp:408,491``,
+``ltslam/src/LTslam.cpp:389,534``); here ``mesh_devices`` is the chip-scale
+switch and results must not depend on it.
+"""
+
+import numpy as np
+import pytest
+
+from ltm.core.config import LTSlamConfig, RemovertConfig
+from ltm.io.synthetic import make_two_sessions
+from ltm.removert import Removerter, RemovertInput
+from ltm.slam import LTSlam
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    return make_two_sessions(num_keyframes=6, num_cars=6, num_changed=2,
+                             max_scan_points=12000, scan_range=70.0,
+                             seed=11, point_noise=0.01)
+
+
+def _removert_cfg():
+    cfg = RemovertConfig()
+    cfg.scan_capacity = 12288
+    cfg.downsample_voxel_size = 0.1
+    cfg.knn_avg_sqdist_threshold = 0.04
+    cfg.save_high_dyn_maps = False
+    return cfg
+
+
+def _rm_input(syn):
+    return RemovertInput(scans=[s for s in syn.data.scans], poses=syn.site_poses)
+
+
+MASKS = ("static_c", "dynamic_c", "static_q", "dynamic_q", "nd", "nd_strong",
+         "nd_weak", "pd", "pd_strong", "updated")
+
+
+def test_removert_mesh_matches_single(bundle, cpu_devices):
+    c, q = _rm_input(bundle["central"]), _rm_input(bundle["query"])
+    res_1 = Removerter(_removert_cfg()).run(c, q)
+
+    cfg = _removert_cfg()
+    cfg.mesh_devices = 8
+    rm = Removerter(cfg)
+    assert rm.mesh is not None and rm.mesh.devices.size == 8
+    res_8 = rm.run(c, q)
+
+    for name in MASKS:
+        a, b = res_1.points(name), res_8.points(name)
+        assert len(a) == len(b), (name, len(a), len(b))
+        a = a[np.lexsort(a.T)]
+        b = b[np.lexsort(b.T)]
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+
+def test_removert_mesh_flat_path_matches_single(bundle, cpu_devices):
+    """The whole-map (non-block) sweeps shard too."""
+    c, q = _rm_input(bundle["central"]), _rm_input(bundle["query"])
+    cfg = _removert_cfg()
+    cfg.use_block_map = False
+    res_1 = Removerter(cfg).run(c, q)
+
+    cfg = _removert_cfg()
+    cfg.use_block_map = False
+    cfg.mesh_devices = 8
+    res_8 = Removerter(cfg).run(c, q)
+
+    for name in MASKS:
+        a, b = res_1.points(name), res_8.points(name)
+        assert len(a) == len(b), (name, len(a), len(b))
+        a = a[np.lexsort(a.T)]
+        b = b[np.lexsort(b.T)]
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+
+def _slam_cfg():
+    cfg = LTSlamConfig()
+    cfg.max_nodes_per_session = 8
+    cfg.scan_capacity = 6144
+    cfg.icp.history_search_num = 3
+    cfg.icp.source_capacity = 2048
+    cfg.icp.target_capacity = 8192
+    cfg.num_sc_loops_upper_bound = 6
+    cfg.loop_fitness_score_threshold = 0.7
+    cfg.icp.update_trim_distance = 2.0
+    return cfg
+
+
+def test_ltslam_mesh_matches_single(bundle, cpu_devices):
+    res_1 = LTSlam(_slam_cfg()).run(bundle["central"].data, bundle["query"].data)
+
+    cfg = _slam_cfg()
+    cfg.mesh_devices = 8
+    slam = LTSlam(cfg)
+    assert slam.mesh is not None
+    res_8 = slam.run(bundle["central"].data, bundle["query"].data)
+
+    assert res_8.num_sc_loops == res_1.num_sc_loops
+    # identical loop set; poses agree up to f32 psum reduction order in LM
+    np.testing.assert_allclose(res_8.anchors["02"], res_1.anchors["02"],
+                               rtol=1e-4, atol=5e-4)
+    for name in ("01", "02"):
+        np.testing.assert_allclose(res_8.central_poses[name],
+                                   res_1.central_poses[name],
+                                   rtol=1e-4, atol=5e-4)
