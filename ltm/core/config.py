@@ -39,6 +39,13 @@ class ICPConfig:
     max_correspondence_distance: float = 150.0
     max_iterations: int = 100
     transformation_epsilon: float = 1e-6
+    # also require ICPResult.converged for loop acceptance (the reference
+    # checks icp.hasConverged() alongside the fitness threshold,
+    # ``ltslam/src/LTslam.cpp:216``; ltm's converged reports
+    # epsilon-convergence + non-degeneracy — see ltm/register/icp.py — so
+    # acceptance can differ near max-iteration exits; off by default to
+    # keep the fitness-only behavior that validated round 1)
+    require_converged: bool = False
     # PCL's third convergence criterion (relative MSE change) is not
     # implemented — loop acceptance is governed by the fitness threshold
     euclidean_fitness_epsilon: float = 1e-6
@@ -182,6 +189,10 @@ class RemovertConfig:
     # (exactness never depends on the tuning constants).  Engages when the
     # padded target map is at least chunk_knn_min_targets.
     use_chunk_knn: bool = True
+    # fused Pallas gather+score kernel for the chunk path (TPU backends;
+    # ltm/kernels/pallas_chunk_knn.py).  None = auto: on for TPU, off
+    # elsewhere (the XLA kernel is the CPU/interpret reference).
+    use_pallas_chunk_knn: Optional[bool] = None
     chunk_knn_min_targets: int = 1 << 17
     chunk_knn_chunk: int = 256
     chunk_knn_k_blocks: int = 384

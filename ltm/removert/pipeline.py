@@ -310,9 +310,17 @@ class Removerter:
                     cur, dynamic = remove_once(cur, dynamic, res)
                     cur, dynamic = revert_once(cur, dynamic, revert_res)
                     cur, dynamic = remove_once(cur, dynamic, res)
+                # per-resolution debug snapshot (the reference saves after
+                # every resolution: saveCurrentStaticAndDynamicPointCloudGlobal,
+                # Removerter.cpp:318-338); masks are cheap, _save_artifacts
+                # writes the files
+                sess.masks[f"static@{res}"] = cur
+                sess.masks[f"dynamic@{res}"] = dynamic
         else:
             for res in cfg.remove_resolution_list:
                 cur, dynamic = remove_once(cur, dynamic, res)
+                sess.masks[f"static@{res}"] = cur
+                sess.masks[f"dynamic@{res}"] = dynamic
 
         sess.masks["static"] = cur
         sess.masks["dynamic"] = dynamic
@@ -470,6 +478,14 @@ class Removerter:
             k=cfg.num_knn_points, tile=8192, query_chunk=16384,
         )
 
+    def _use_pallas_chunk(self) -> bool:
+        """Fused Pallas gather+score on TPU backends (auto) or when forced."""
+        if self.cfg.use_pallas_chunk_knn is not None:
+            return self.cfg.use_pallas_chunk_knn and self.cfg.num_knn_points == 2
+        if self.cfg.num_knn_points != 2:
+            return False
+        return jax.default_backend() == "tpu"
+
     def _knn_block_map(self, target_xyz, target_base=None):
         """kNN-grained block layout of a map, built ONCE per map object.
 
@@ -525,6 +541,10 @@ class Removerter:
             from ltm.dist.removert import chunk_knn_sqdists_sharded
 
             chunk_knn_sqdists = partial(chunk_knn_sqdists_sharded, self.mesh)
+        elif self._use_pallas_chunk():
+            from ltm.kernels.pallas_chunk_knn import pallas_chunk_knn_sqdists
+
+            chunk_knn_sqdists = pallas_chunk_knn_sqdists
         else:
             from ltm.kernels.chunk_knn import chunk_knn_sqdists
 
@@ -648,11 +668,20 @@ class Removerter:
         if cfg.save_map_pcd:
             save("OriginalNoisyCentralMapGlobal.pcd", np.asarray(c.map_xyz)[np.asarray(c.map_mask)])
             save("OriginalNoisyQueryMapGlobal.pcd", np.asarray(q.map_xyz)[np.asarray(q.map_mask)])
-            res_str = f"ResX{cfg.remove_resolution_list[-1]}"
-            save(f"map_static/CentralStaticMapMapsideGlobal{res_str}.pcd", result.points("static_c"))
-            save(f"map_dynamic/CentralDynamicMapMapsideGlobal{res_str}.pcd", result.points("dynamic_c"))
-            save(f"map_static/QueryStaticMapMapsideGlobal{res_str}.pcd", result.points("static_q"))
-            save(f"map_dynamic/QueryDynamicMapMapsideGlobal{res_str}.pcd", result.points("dynamic_q"))
+            # per-resolution snapshots, as the reference saves after every
+            # removal resolution (Removerter.cpp:318-338); the final
+            # resolution is the headline static/dynamic pair
+            for sess, tag in ((c, "Central"), (q, "Query")):
+                for res in cfg.remove_resolution_list:
+                    sm = sess.masks.get(f"static@{res}")
+                    if sm is None:
+                        continue
+                    dm = sess.masks[f"dynamic@{res}"]
+                    xyz = np.asarray(sess.map_xyz)
+                    save(f"map_static/{tag}StaticMapMapsideGlobalResX{res}.pcd",
+                         xyz[np.asarray(sm)])
+                    save(f"map_dynamic/{tag}DynamicMapMapsideGlobalResX{res}.pcd",
+                         xyz[np.asarray(dm)])
             save("union_map_centralside.pcd", result.points("coexist_c"))
             save("union_map_queryside.pcd", result.points("coexist_q"))
             save("nd_map.pcd", result.points("nd"))
@@ -694,6 +723,7 @@ class Removerter:
 
             res = cfg.remove_resolution_list[0]
             shape = rimg_shape(fov, res)
+            png_rows = []
             for k in (0, c.num_keyframes // 2):
                 Tinv = c.poses_inv[k]
                 scan_img = np.asarray(range_image(c.scans_xyz[k], c.scans_mask[k], fov, shape)).reshape(shape)
@@ -705,6 +735,12 @@ class Removerter:
                 save_range_image_png(os.path.join(out_dir, f"rimg_map_{k:04d}.png"), map_img,
                                      vmin=cfg.rimg_color_min, vmax=cfg.rimg_color_max)
                 save_range_image_png(os.path.join(out_dir, f"rimg_diff_{k:04d}.png"), diff, vmin=-2.0, vmax=2.0)
+                png_rows.append((k, c.names[k]))
+            # browsable index (the file-based analog of the reference's live
+            # rviz image topics, Removerter.cpp:54-71)
+            from ltm.utils.viz import write_rimg_index
+
+            write_rimg_index(os.path.join(out_dir, "rimg_index.html"), png_rows)
 
         if not cfg.save_clean_scans_pcd:
             return

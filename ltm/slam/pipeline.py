@@ -351,10 +351,11 @@ class LTSlam:
                 res = icp_batch(sx, sm, tx, tm, jnp.asarray(inits, jnp.float32), **kw)
             T = np.asarray(res.transform)
             fit = np.asarray(res.fitness)
+            conv = np.asarray(res.converged)
             n_real = len(pair_data[c0 : c0 + chunk])
             iter_counts.extend(np.asarray(res.iterations)[:n_real].tolist())
             for b in range(n_real):
-                results.append((T[b], float(fit[b])))
+                results.append((T[b], float(fit[b]), bool(conv[b])))
         if iter_counts:
             it = np.asarray(iter_counts)
             log.info("ICP iterations over %d pairs: min %d / median %d / p90 %d / max %d",
@@ -381,8 +382,9 @@ class LTSlam:
             results = self._run_icp_batches(data, inits)
 
         added = 0
-        for (tgt, src), (T_icp, fitness) in zip(pairs, results):
-            if fitness < cfg.loop_fitness_score_threshold:
+        for (tgt, src), (T_icp, fitness, conv) in zip(pairs, results):
+            if fitness < cfg.loop_fitness_score_threshold and \
+                    (conv or not cfg.icp.require_converged):
                 self.anchored.append(
                     (
                         self._node_var(target_idx, tgt),
@@ -485,8 +487,9 @@ class LTSlam:
             results = self._run_icp_batches(data, inits)
 
         added = 0
-        for (tgt, src), (T_icp, fitness) in zip(rs_pairs, results):
-            if fitness < cfg.loop_fitness_score_threshold:
+        for (tgt, src), (T_icp, fitness, conv) in zip(rs_pairs, results):
+            if fitness < cfg.loop_fitness_score_threshold and \
+                    (conv or not cfg.icp.require_converged):
                 self.anchored.append(
                     (
                         self._node_var(0, tgt),

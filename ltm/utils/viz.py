@@ -56,3 +56,23 @@ def save_range_image_png(path: str, img: np.ndarray, vmin: float = 0.0,
     rgb = jet_colormap(norm)
     rgb[img >= no_point] = 0
     write_png(path, rgb)
+
+
+def write_rimg_index(path: str, rows) -> None:
+    """Browsable HTML index over the dumped range-image PNGs — the
+    file-based analog of the reference's live rviz image topics
+    (``ltremovert/src/Removerter.cpp:54-71``).  ``rows`` is an iterable of
+    (keyframe_index, scan_name)."""
+    parts = [
+        "<!doctype html><meta charset='utf-8'><title>ltm range images</title>",
+        "<style>body{font-family:sans-serif;background:#111;color:#ddd}"
+        "img{width:100%;image-rendering:pixelated;margin:2px 0}"
+        "h2{margin:18px 0 4px}</style>",
+        "<h1>removert range images</h1>",
+    ]
+    for k, name in rows:
+        parts.append(f"<h2>keyframe {k} — {name}</h2>")
+        for kind in ("scan", "map", "diff"):
+            parts.append(f"<div>{kind}</div><img src='rimg_{kind}_{k:04d}.png'>")
+    with open(path, "w") as f:
+        f.write("\n".join(parts))

@@ -148,7 +148,10 @@ def test_artifacts_written(result):
     res, out = result
     for f in ("updated_map.pcd", "updated_map_strong.pcd", "nd_map.pcd", "pd_map.pcd",
               "strong_nd_map.pcd", "weak_nd_map.pcd", "union_map_centralside.pcd",
-              "OriginalNoisyCentralMapGlobal.pcd"):
+              "OriginalNoisyCentralMapGlobal.pcd",
+              # per-resolution snapshots (Removerter.cpp:318-338)
+              "map_static/CentralStaticMapMapsideGlobalResX2.5.pcd",
+              "map_dynamic/QueryDynamicMapMapsideGlobalResX2.5.pcd"):
         assert os.path.exists(os.path.join(out, f)), f
     scans = os.listdir(os.path.join(out, "scans_updated"))
     assert len(scans) == res.central.num_keyframes
