@@ -10,6 +10,8 @@ remote platform factory before the first backend initialization (otherwise
 the first host transfer stalls for minutes initializing the tunnel).
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -17,6 +19,13 @@ try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:  # pragma: no cover - older jax
     pass
+
+# persistent compilation cache, shared across xdist workers and runs: the
+# suite re-compiles the same pipeline kernels in several files (removert,
+# dist, cli, lifelong) — the file cache turns all but the first into loads
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax._src.xla_bridge as _xb  # noqa: E402
 

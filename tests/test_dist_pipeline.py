@@ -60,8 +60,10 @@ def test_removert_mesh_matches_single(bundle, cpu_devices):
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_removert_mesh_flat_path_matches_single(bundle, cpu_devices):
-    """The whole-map (non-block) sweeps shard too."""
+    """The whole-map (non-block) sweeps shard too (kernel-level sharding is
+    covered by test_dist.py; the default driver path is the block one)."""
     c, q = _rm_input(bundle["central"]), _rm_input(bundle["query"])
     cfg = _removert_cfg()
     cfg.use_block_map = False
