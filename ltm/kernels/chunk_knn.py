@@ -58,7 +58,8 @@ class ChunkKnnResult(NamedTuple):
     order: jax.Array           # (N,) original query index at each sorted position
                                # (chunk c covers sorted positions [c·chunk, (c+1)·chunk))
 
-_BIG = jnp.float32(1e30)
+_BIG = 1e30  # plain float: a module-level jnp constant would initialize the
+# backend at import time, breaking jax.distributed.initialize on pod workers
 
 
 def _spread3(v: jax.Array) -> jax.Array:

@@ -41,7 +41,8 @@ import jax.numpy as jnp
 
 __all__ = ["GridBuckets", "build_grid_buckets", "grid_knn2_sqdists"]
 
-_BIG = jnp.float32(1e30)
+_BIG = 1e30  # plain float: a module-level jnp constant would initialize the
+# backend at import time, breaking jax.distributed.initialize on pod workers
 _COORD_BITS = 10          # cells per axis: 2^10 (± 512); key packs 3 axes
 _COORD_OFF = 1 << (_COORD_BITS - 1)
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 __all__ = ["knn_sqdists", "knn_avg_sqdist", "nn_sqdist_argmin"]
 
-_BIG = jnp.float32(1e30)
+_BIG = 1e30  # plain float: no backend init at import (pod workers)
 
 
 def _pad_axis(a, size, axis, value=0.0):

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 __all__ = ["voxel_coords", "voxel_downsample_centroid",
            "voxel_downsample_centroid_capped", "voxel_unique_mask"]
 
-_INT_SENTINEL = jnp.int32(2**31 - 1)
+_INT_SENTINEL = 2**31 - 1  # plain int: no backend init at import (pod workers)
 
 
 def voxel_coords(xyz: jax.Array, voxel: float) -> jax.Array:

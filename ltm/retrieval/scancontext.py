@@ -33,7 +33,7 @@ from ltm.core.config import ScanContextConfig
 
 __all__ = ["ring_keys", "sector_keys", "sc_distance_matrix", "detect_loops_between_sessions"]
 
-_BIG = jnp.float32(1e9)
+_BIG = 1e9  # plain float: no backend init at import (pod workers)
 
 
 def ring_keys(descs: jax.Array) -> jax.Array:
