@@ -104,8 +104,10 @@ class LTSlamConfig:
     large_variances: Tuple[float, ...] = (9.8696044, 9.8696044, 9.8696044, 1e8, 1e8, 1e8)
     robust_variances: Tuple[float, ...] = (0.5,) * 6
 
-    # padded capacities
-    max_nodes_per_session: int = 1024
+    # padded capacities.  max_nodes_per_session=None auto-sizes (pow-2
+    # bucket of the largest session); explicit values escalate with a
+    # warning instead of raising — nothing is silently dropped
+    max_nodes_per_session: Optional[int] = None
     scan_capacity: int = 8192
 
     # device mesh: shard the hot loops (SC scoring, ICP batches, LM solve)
@@ -189,9 +191,10 @@ class RemovertConfig:
     # (exactness never depends on the tuning constants).  Engages when the
     # padded target map is at least chunk_knn_min_targets.
     use_chunk_knn: bool = True
-    # fused Pallas gather+score kernel for the chunk path (TPU backends;
-    # ltm/kernels/pallas_chunk_knn.py).  None = auto: on for TPU, off
-    # elsewhere (the XLA kernel is the CPU/interpret reference).
+    # fused Pallas gather+score kernel for the chunk path (TPU only;
+    # ltm/kernels/pallas_chunk_knn.py).  Opt-in: measured ~5% behind the
+    # XLA chunk kernel at the default 128-point block layout (see
+    # Removerter._use_pallas_chunk) while remaining bit-identical.
     use_pallas_chunk_knn: Optional[bool] = None
     chunk_knn_min_targets: int = 1 << 17
     chunk_knn_chunk: int = 256
@@ -225,15 +228,20 @@ class RemovertConfig:
     # block-structured map (ltm.kernels.blocks): per-keyframe locality for
     # the visibility sweeps — the big-map fast path, ON by default.
     # ``n_blocks``/``k_blocks`` auto-size from the real point count and the
-    # session viewpoints (``required_k_blocks`` keeps sweeps exact);
-    # block_max_range must be >= max scan range + valid_diff_upper_bound for
-    # exactness of the reversed-diff (ND) checks.
+    # session viewpoints (``required_k_blocks`` keeps sweeps exact).
+    # ``block_max_range=None`` (default) derives the EXACT bound per sweep:
+    # max_scan_range + diff_threshold for forward discrepancy, the farthest
+    # block for visibility/winner projections, and the source visibility
+    # bound (+ kValidDiffUpperBound when reversed) for the ND/PD image
+    # filters — every block sweep then equals the whole-map sweep
+    # bit-for-bit at ANY map scale.  An explicit float applies everywhere
+    # (legacy; exact only while it upper-bounds the quantities above).
     use_block_map: bool = True
     block_cell_size: float = 25.0
     n_blocks: Optional[int] = None
     block_capacity: int = 256
     k_blocks: Optional[int] = None
-    block_max_range: float = 400.0
+    block_max_range: Optional[float] = None
 
 
 # ---------------------------------------------------------------------------

@@ -84,7 +84,6 @@ def build_block_map_with_slots(
     """
     n = xyz.shape[0]
     coords = jnp.floor(xyz / cell_size).astype(jnp.int32)
-    coords = jnp.where(mask[:, None], coords, jnp.int32(2**30))
 
     # secondary key: Morton code of the 8x8x8 sub-cell position, so the
     # capacity-sized blocks a cell spills into are spatially COMPACT runs
@@ -97,8 +96,22 @@ def build_block_map_with_slots(
         return (v & 1) | ((v & 2) << 2) | ((v & 4) << 4)
 
     morton = (_spread3(sub[:, 0]) << 2) | (_spread3(sub[:, 1]) << 1) | _spread3(sub[:, 2])
-    order = jnp.lexsort((morton, coords[:, 2], coords[:, 1], coords[:, 0],
-                         (~mask).astype(jnp.int32)))
+    # sort by (invalid, cx, cy, cz, morton) packed into TWO int32 keys — a
+    # naive 5-key lexsort is 5 stable sorts and measured ~2 s per 1M-point
+    # build on v5e (the dominant session-prep cost); two keys halve+ it.
+    # Cell coords rebase to the valid minimum and clamp at 15/16 bits
+    # (32768/65536 cells per axis — 819 km at 25 m cells); clamped far
+    # outliers may share a block across cells, which only loosens that
+    # block's bounding ball (exactness arguments use the actual
+    # centers/radius, never the cell grid).
+    cmin = jnp.min(jnp.where(mask[:, None], coords, jnp.int32(2**30)), axis=0)
+    cr = jnp.clip(coords - cmin, 0, (1 << 16) - 1)
+    key_hi = (jnp.where(mask, 0, jnp.int32(1 << 30))
+              | (jnp.minimum(cr[:, 0], (1 << 15) - 1) << 15)
+              | jnp.minimum(cr[:, 1], (1 << 15) - 1))
+    key_lo = (cr[:, 2] << 9) | morton
+    order = jnp.lexsort((key_lo, key_hi))
+    coords = jnp.where(mask[:, None], coords, jnp.int32(2**30))
     cs = coords[order]
     ms = mask[order]
     xs = xyz[order]
@@ -106,7 +119,10 @@ def build_block_map_with_slots(
     new_cell = jnp.any(cs != jnp.roll(cs, 1, axis=0), axis=-1).at[0].set(True) & ms
     # position within cell
     idx = jnp.arange(n)
-    cell_start = jnp.maximum.accumulate(jnp.where(new_cell, idx, 0))
+    # lax.cummax, NOT jnp.maximum.accumulate: the ufunc accumulate lowers to
+    # an O(n·window) reduce_window on TPU — measured 2.9 s/1M vs ~ms for the
+    # associative-scan cummax; it was the whole session-prep bottleneck
+    cell_start = jax.lax.cummax(jnp.where(new_cell, idx, 0))
     within = idx - cell_start
     # global slot: points stream into blocks of block_capacity in sorted order,
     # starting a fresh block whenever a new cell begins
@@ -307,14 +323,21 @@ def block_sweep_discrepancy_vs_images(
 ) -> jax.Array:
     """Target-side half of ``block_sweep_discrepancy_projected`` against
     precomputed source images (the per-repeat cost of the strong-weak
-    filter)."""
+    filter).
+
+    Selection restricts to blocks CONTAINING target (delta) points — exact
+    (an empty block contributes nothing) and crucial when the delta set is
+    a few car-sized clusters in a large map: callers can then size
+    ``k_blocks`` by the delta's block count instead of the range ball."""
     from ltm.kernels.projection import discrepancy_vs_image
 
     t_extra = target_extra.reshape(target_bm.num_blocks, target_bm.block_capacity)
+    occupied = target_bm.block_valid & jnp.any(target_bm.mask & t_extra, axis=1)
+    sel_bm = target_bm._replace(block_valid=occupied)
 
     def body(carry, inp):
         Tinv, T, img = inp
-        tsel, tval = _select_blocks(target_bm, T[:3, 3], max_range, k_blocks)
+        tsel, tval = _select_blocks(sel_bm, T[:3, 3], max_range, k_blocks)
         t_xyz = target_bm.xyz[tsel].reshape(-1, 3)
         t_mask = (target_bm.mask[tsel] & t_extra[tsel] & tval[:, None]).reshape(-1)
         t_local = t_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]

@@ -90,6 +90,10 @@ class Removerter:
         self.cfg = cfg or RemovertConfig()
         # id-keyed (map_array, BlockMap, slots) — see _knn_block_map
         self._kbm_cache: dict = {}
+        # per-run exact-bound caches (reset by run())
+        self._origins = np.zeros((0, 3))
+        self._kb_cache: dict = {}
+        self._vis_cache: dict = {}
         # device mesh for the hot loops (cfg.mesh_devices; the reference's
         # OpenMP-by-default analog at chip scale, Session.cpp:408,491)
         self.mesh = None
@@ -119,13 +123,19 @@ class Removerter:
                  query.num_keyframes, int(query.map_mask.sum()))
         # exact block budgets: every sweep selects blocks from SOME session's
         # viewpoints (ND/PD filters sweep one session's map from the other's
-        # keyframes), so each map's k_blocks is sized over the union of both
-        # sessions' origins — no in-range block is ever truncated
-        origins = np.concatenate([
+        # keyframes), so block budgets size over the union of both sessions'
+        # origins — no in-range block is ever truncated (see _kb/_vis_bound)
+        self._origins = np.concatenate([
             np.asarray(s.poses)[: s.num_keyframes, :3, 3] for s in (central, query)
         ]) if (central.num_keyframes + query.num_keyframes) else np.zeros((0, 3))
+        self._kb_cache = {}
+        self._vis_cache = {}
         for sess in (central, query):
-            self._size_k_blocks(sess, origins)
+            if sess.bm is not None:
+                log.info("%s: block map %d blocks x %d cap, fwd bound %.1f m, "
+                         "vis bound %.1f m", sess.sess_type, sess.bm.num_blocks,
+                         sess.bm.block_capacity, self._fwd_bound(sess),
+                         self._vis_bound(sess))
 
         # ---------------- Step 1: high-dynamic removal --------------------
         with stage_timer("removert.high_dynamic", log):
@@ -139,20 +149,21 @@ class Removerter:
                 # matrices, i.e. a phantom viewpoint at the global origin
                 K = sess.num_keyframes
                 if sess.bm is not None:
+                    kb, mr = self._kb(sess.bm, self._vis_bound(sess))
                     if self.mesh is not None:
                         from ltm.dist.removert import block_sweep_visibility_sharded
 
                         sess.masks["proj_static"] = block_sweep_visibility_sharded(
                             self.mesh, sess.bm, sess.masks["static"],
                             sess.poses_inv[:K], sess.poses[:K], fov, proj_shape,
-                            k_blocks=sess.k_blocks, max_range=cfg.block_max_range,
+                            k_blocks=kb, max_range=mr,
                         )
                     else:
                         sess.masks["proj_static"] = block_sweep_visibility(
                             sess.bm, sess.masks["static"],
                             sess.poses_inv[:K], sess.poses[:K], fov, proj_shape,
-                            k_blocks=sess.k_blocks,
-                            max_range=cfg.block_max_range,
+                            k_blocks=kb,
+                            max_range=mr,
                         )
                 elif self.mesh is not None:
                     from ltm.dist.removert import sweep_visibility_sharded
@@ -218,49 +229,78 @@ class Removerter:
         return result
 
     # ------------------------------------------------------------------
-    def _size_k_blocks(self, sess: RemovertSession, origins: np.ndarray):
-        """Exactness auto-sizing: every viewpoint's range ball must fit in
-        k_blocks, otherwise the block sweeps would silently drop map regions
-        (``required_k_blocks`` computes the exact budget).  An explicit
-        ``cfg.k_blocks`` is honored as a floor but escalated when too small."""
-        if sess.bm is None:
-            sess.k_blocks = None
-            return
+    # per-sweep exact culling bounds + block budgets
+    # ------------------------------------------------------------------
+    def _fwd_bound(self, sess: RemovertSession) -> float:
+        """Exact bound for forward discrepancy sweeps of a session's own
+        scans: a flagged map point satisfies range < scan_pixel − thres and
+        a culled farther point can't displace a pixel minimum below the
+        bound (blocks.py docstring)."""
+        return sess.max_scan_range + self.cfg.diff_threshold + 0.25
+
+    def _vis_bound(self, sess: RemovertSession) -> float:
+        """Exact bound for winner (visibility) projections of a session's
+        map: the farthest valid block from any viewpoint — a winner can sit
+        at any range, so only the map's own extent bounds it (the reference
+        projects the whole map per keyframe, Removerter.cpp:452,508,565)."""
+        key = id(sess.bm.xyz)
+        hit = self._vis_cache.get(key)
+        if hit is not None:
+            return hit
+        centers = np.asarray(sess.bm.centers)
+        radius = np.asarray(sess.bm.radius)
+        valid = np.asarray(sess.bm.block_valid)
+        if self._origins.size == 0 or not valid.any():
+            b = 0.0
+        else:
+            d = np.linalg.norm(centers[None] - self._origins[:, None], axis=-1) + radius[None]
+            b = float(np.where(valid[None], d, 0.0).max())
+        self._vis_cache[key] = b
+        return b
+
+    def _kb(self, bm, bound: float):
+        """(k_blocks, max_range) for a sweep over ``bm`` with an exact
+        culling bound: ``required_k_blocks`` guarantees no in-range block is
+        truncated.  Bounds bucket to 25 m so jit sees few distinct static
+        k_blocks values; an explicit cfg.k_blocks acts as a floor."""
         cfg = self.cfg
+        if cfg.block_max_range is not None:
+            bound = cfg.block_max_range
+        bound = float(np.ceil(bound / 25.0) * 25.0)
+        key = (id(bm.xyz), bound)
+        hit = self._kb_cache.get(key)
+        if hit is not None:
+            return hit
         from ltm.kernels.blocks import required_k_blocks
 
-        need = required_k_blocks(sess.bm, origins, cfg.block_max_range)
-        kb = need
+        need = required_k_blocks(bm, self._origins, bound)
         if cfg.k_blocks is not None:
-            if cfg.k_blocks < need:
-                log.warning(
-                    "%s: k_blocks=%d would truncate in-range blocks (need %d) — "
-                    "escalating to keep sweeps exact", sess.sess_type, cfg.k_blocks, need)
-            kb = min(max(cfg.k_blocks, need), sess.bm.num_blocks)
-        sess.k_blocks = kb
-        log.info("%s: block map %d blocks x %d cap, k_blocks=%d",
-                 sess.sess_type, sess.bm.num_blocks, sess.bm.block_capacity, kb)
+            need = min(max(cfg.k_blocks, need), bm.num_blocks)
+        self._kb_cache[key] = (need, bound)
+        log.info("block budget: %d/%d blocks within %.0f m", need, bm.num_blocks, bound)
+        return need, bound
 
     def _sweep(self, sess: RemovertSession, mask, fov, res):
         shape = rimg_shape(fov, res)
         K = sess.num_keyframes  # padded keyframes are masked but not free
         if sess.bm is not None:
             bm = sess.bm._replace(mask=mask.reshape(sess.bm.mask.shape))
+            kb, mr = self._kb(sess.bm, self._fwd_bound(sess))
             if self.mesh is not None:
                 from ltm.dist.removert import block_sweep_discrepancy_sharded
 
                 return block_sweep_discrepancy_sharded(
                     self.mesh, bm, sess.scans_xyz[:K], sess.scans_mask[:K],
                     sess.poses_inv[:K], sess.poses[:K],
-                    fov, shape, k_blocks=sess.k_blocks,
-                    max_range=self.cfg.block_max_range,
+                    fov, shape, k_blocks=kb,
+                    max_range=mr,
                     diff_threshold=self.cfg.diff_threshold, reverse=False,
                 )
             return block_sweep_discrepancy(
                 bm, sess.scans_xyz[:K], sess.scans_mask[:K],
                 sess.poses_inv[:K], sess.poses[:K],
-                fov, shape, k_blocks=sess.k_blocks,
-                max_range=self.cfg.block_max_range,
+                fov, shape, k_blocks=kb,
+                max_range=mr,
                 diff_threshold=self.cfg.diff_threshold, reverse=False,
             )
         if self.mesh is not None:
@@ -361,20 +401,29 @@ class Removerter:
         # identical across repeats: build the per-keyframe projected-scan
         # images ONCE, then each repeat only projects the shrinking delta set
         if use_blocks:
+            # source side: winner projection — needs the source visibility
+            # bound; target side: a flagged point's range is bounded by the
+            # largest source image pixel (≤ source vis bound), plus
+            # kValidDiffUpperBound when the diff is reversed (ND)
+            from ltm.kernels.projection import VALID_DIFF_UB
+
+            kb_s, mr_s = self._kb(source.bm, self._vis_bound(source))
+            bound_t = self._vis_bound(source) + (VALID_DIFF_UB if reverse else 0.0)
+            kb_t, mr_t = self._kb(sess.bm, bound_t)
             if self.mesh is not None:
                 from ltm.dist.removert import block_projected_scan_images_sharded
 
                 imgs = block_projected_scan_images_sharded(
                     self.mesh, source.bm, source.masks["static"],
                     source.poses_inv[:Ks], source.poses[:Ks], fov, shape, proj_shape,
-                    k_blocks=source.k_blocks, max_range=cfg.block_max_range,
+                    k_blocks=kb_s, max_range=mr_s,
                 )
             else:
                 imgs = block_projected_scan_images(
                     source.bm, source.masks["static"],
                     source.poses_inv[:Ks], source.poses[:Ks], fov, shape, proj_shape,
-                    k_blocks=source.k_blocks,
-                    max_range=cfg.block_max_range,
+                    k_blocks=kb_s,
+                    max_range=mr_s,
                 )
         elif self.mesh is not None:
             from ltm.dist.removert import projected_scan_images_sharded
@@ -388,6 +437,15 @@ class Removerter:
                 source.map_xyz, source.masks["static"], source.poses_inv[:Ks],
                 fov, shape, proj_shape,
             )
+        if use_blocks:
+            # the candidate (delta) set occupies FEW blocks and the sweep
+            # kernel restricts selection to delta-occupied ones (exact: an
+            # empty block contributes nothing), so k_blocks sizes by the
+            # INITIAL delta's block count — repeats only shrink the set.
+            # One host sync per direction, repeats stay fully async.
+            nb, bcap = sess.bm.num_blocks, sess.bm.block_capacity
+            n_cb = int(jnp.any(cand.reshape(nb, bcap), axis=1).sum())
+            kb_eff = max(min(kb_t, ((n_cb + 127) // 128) * 128), 128)
         for _ in range(cfg.nd_pd_filter_repeats):
             if use_blocks:
                 if self.mesh is not None:
@@ -398,15 +456,15 @@ class Removerter:
                     flagged = block_sweep_discrepancy_vs_images_sharded(
                         self.mesh, sess.bm, cur, imgs,
                         source.poses_inv[:Ks], source.poses[:Ks],
-                        fov, shape, k_blocks=sess.k_blocks,
-                        max_range=cfg.block_max_range,
+                        fov, shape, k_blocks=kb_eff,
+                        max_range=mr_t,
                         diff_threshold=cfg.diff_threshold, reverse=reverse,
                     )
                 else:
                     flagged = block_sweep_discrepancy_vs_images(
                         sess.bm, cur, imgs, source.poses_inv[:Ks], source.poses[:Ks],
-                        fov, shape, k_blocks=sess.k_blocks,
-                        max_range=cfg.block_max_range,
+                        fov, shape, k_blocks=kb_eff,
+                        max_range=mr_t,
                         diff_threshold=cfg.diff_threshold, reverse=reverse,
                     )
             elif self.mesh is not None:
@@ -479,12 +537,13 @@ class Removerter:
         )
 
     def _use_pallas_chunk(self) -> bool:
-        """Fused Pallas gather+score on TPU backends (auto) or when forced."""
-        if self.cfg.use_pallas_chunk_knn is not None:
-            return self.cfg.use_pallas_chunk_knn and self.cfg.num_knn_points == 2
-        if self.cfg.num_knn_points != 2:
-            return False
-        return jax.default_backend() == "tpu"
+        """Fused Pallas gather+score kernel — opt-in.  Measured (TPU v5e,
+        262k×1M corridor and in-pipeline): bit-identical results but ~5%
+        SLOWER than the XLA chunk kernel — XLA's bulk block gather beats
+        per-block double-buffered DMA at 128-point blocks — so the XLA
+        kernel stays the default; the flag is kept for larger-block layouts
+        where the DMA pipeline should win."""
+        return bool(self.cfg.use_pallas_chunk_knn) and self.cfg.num_knn_points == 2
 
     def _knn_block_map(self, target_xyz, target_base=None):
         """kNN-grained block layout of a map, built ONCE per map object.

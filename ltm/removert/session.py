@@ -158,7 +158,8 @@ class RemovertSession:
     map_mask: jax.Array              # (N,) valid map points
     masks: Dict[str, jax.Array] = field(default_factory=dict)  # named partitions
     bm: Optional[BlockMap] = None    # block layout of the same points (fast path)
-    k_blocks: Optional[int] = None   # exact per-sweep block budget (pipeline fills)
+    max_scan_range: float = 0.0      # max sensor range over all valid returns
+                                     # (sets the exact forward-sweep bound)
 
     @classmethod
     def build(cls, inp: RemovertInput, cfg: RemovertConfig, sess_type: str,
@@ -247,6 +248,12 @@ class RemovertSession:
             scans_mask = jnp.zeros((k_cap, s_cap), bool).at[:K].set(mask_rows[:K])
         poses_j = jnp.asarray(poses)
         poses_inv = jnp.asarray(np.linalg.inv(poses.astype(np.float64)).astype(np.float32))
+        # max sensor range over valid returns: the exact culling bound for
+        # forward discrepancy sweeps is max_scan_range + diff_threshold
+        # (ltm.kernels.blocks docstring)
+        r2max = jnp.max(jnp.where(scans_mask & valid[:, None],
+                                  jnp.sum(scans_xyz * scans_xyz, axis=-1), 0.0))
+        max_scan_range = float(np.sqrt(float(r2max)))
         # map capacity: merge once at the configured/guessed capacity, then
         # re-merge at the pow-2 bucket of the TRUE voxel count when the guess
         # was wrong — auto mode both escalates (never drops voxels) and
@@ -271,13 +278,16 @@ class RemovertSession:
             )
         bm = None
         if cfg.use_block_map:
-            # auto block budget: ~2x slack over the perfectly packed count
-            # (cells spill partial blocks); doubling handles sparse maps
+            # auto block budget: 1.25x slack over the perfectly packed count
+            # (cells spill partial blocks) — kept tight because the blocked
+            # flat layout is the canonical map layout and every downstream
+            # stage (kNN query sets, mask algebra) pays for its padding; the
+            # doubling loop below absorbs sparse maps
             b_cap = cfg.block_capacity
             if cfg.n_blocks is not None:
                 n_blocks = cfg.n_blocks
             else:
-                need = max((n_real * 2 + b_cap - 1) // b_cap, 1)
+                need = max((n_real * 5 + 4 * b_cap - 1) // (4 * b_cap), 1)
                 n_blocks = 1 << (need - 1).bit_length()
             for _attempt in range(6):
                 bm, overflow = build_block_map(
@@ -309,4 +319,5 @@ class RemovertSession:
             map_xyz=map_xyz,
             map_mask=map_mask,
             bm=bm,
+            max_scan_range=max_scan_range,
         )

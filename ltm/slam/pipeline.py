@@ -89,7 +89,7 @@ class LTSlam:
     # optimization; session 0 is the base/central session.
     # ------------------------------------------------------------------
     def _node_var(self, sess_idx: int, node: int) -> int:
-        return self.n_sessions + sess_idx * self.cfg.max_nodes_per_session + node
+        return self.n_sessions + sess_idx * self.nodes_cap + node
 
     def _anchor_var(self, sess_idx: int) -> int:
         return sess_idx
@@ -107,8 +107,19 @@ class LTSlam:
         anchors+nodes optimize in one graph."""
         cfg = self.cfg
         with stage_timer("ltslam.load", log):
+            # shared node capacity (the variable layout strides by it):
+            # auto pow-2 bucket of the largest session; an explicit cap that
+            # is too small escalates with a warning — nodes are never dropped
+            n_max = max((d.num_nodes for d in session_data), default=1)
+            auto = 1 << max(3, (max(n_max, 1) - 1).bit_length())
+            n_cap = cfg.max_nodes_per_session if cfg.max_nodes_per_session else auto
+            if n_max > n_cap:
+                log.warning("max_nodes_per_session=%d < %d nodes — escalating "
+                            "capacity to %d", n_cap, n_max, auto)
+                n_cap = auto
+            self.nodes_cap = n_cap
             self.sessions = [
-                SlamSession.from_session_data(d, cfg, is_base=(i == 0))
+                SlamSession.from_session_data(d, cfg, is_base=(i == 0), n_cap=n_cap)
                 for i, d in enumerate(session_data)
             ]
         self.n_sessions = len(self.sessions)
@@ -167,7 +178,7 @@ class LTSlam:
     # ------------------------------------------------------------------
     def _init_graph(self):
         cfg = self.cfg
-        V = self.n_sessions * (1 + cfg.max_nodes_per_session)
+        V = self.n_sessions * (1 + self.nodes_cap)
         self.poses0 = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
         self.fixed = np.zeros(V, bool)
         self.fixed[self._anchor_var(0)] = True            # base anchor == origin

@@ -27,6 +27,9 @@ import numpy as np
 from ltm.core.config import LTSlamConfig
 from ltm.io.sessions import SessionData
 from ltm.kernels import polar_bin
+from ltm.utils import get_logger
+
+log = get_logger("ltm.slam.session")
 from ltm.kernels.voxel import voxel_downsample_representative
 
 __all__ = ["SlamSession", "assemble_submap"]
@@ -47,23 +50,36 @@ class SlamSession:
     is_base: bool
 
     @classmethod
-    def from_session_data(cls, data: SessionData, cfg: LTSlamConfig, is_base: bool) -> "SlamSession":
-        n_cap = cfg.max_nodes_per_session
-        s_cap = cfg.scan_capacity
+    def from_session_data(cls, data: SessionData, cfg: LTSlamConfig, is_base: bool,
+                          n_cap: int | None = None) -> "SlamSession":
         n = data.num_nodes
-        if n > n_cap:
-            raise ValueError(f"session {data.name}: {n} nodes exceed capacity {n_cap}")
+        if n_cap is None:
+            # auto: pow-2 bucket; an explicit too-small cap escalates with a
+            # warning — a session's nodes are never silently dropped
+            n_auto = 1 << max(3, (max(n, 1) - 1).bit_length())
+            n_cap = cfg.max_nodes_per_session if cfg.max_nodes_per_session else n_auto
+            if n > n_cap:
+                log.warning("session %s: max_nodes_per_session=%d < %d nodes — "
+                            "escalating capacity to %d", data.name, n_cap, n, n_auto)
+                n_cap = n_auto
+        s_cap = cfg.scan_capacity
 
         xyz = np.zeros((n_cap, s_cap, 3), np.float32)
         msk = np.zeros((n_cap, s_cap), bool)
+        n_trunc = 0
         for i, scan in enumerate(data.scans[:n]):
             pts = scan[:, :3]
             if len(pts) > s_cap:
                 # deterministic stride subsample to capacity
+                n_trunc += 1
                 sel = np.linspace(0, len(pts) - 1, s_cap).astype(np.int64)
                 pts = pts[sel]
             xyz[i, : len(pts)] = pts
             msk[i, : len(pts)] = True
+        if n_trunc:
+            log.warning("session %s: %d/%d scans exceed scan_capacity=%d points — "
+                        "stride-subsampled; raise scan_capacity for full density",
+                        data.name, n_trunc, n, s_cap)
         scans_xyz = jnp.asarray(xyz)
         scans_mask = jnp.asarray(msk)
 
