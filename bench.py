@@ -24,6 +24,10 @@ import numpy as np
 
 
 def main() -> None:
+    from ltm.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -91,12 +95,54 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / n_reps
 
     kf_per_s = k_frames / dt
+
+    # ---- full-pipeline metric (what a user of `ltm.cli.ltremovert` gets):
+    # the complete 2-session LT-removert run (prep + HD removal + projected
+    # static + kNN change detection + strong/weak + LT-map composition) on
+    # a 2x48-keyframe / 2x776k-point-map synthetic survey — the same
+    # workload tools/e2e_bench.py tracks.  Warm wall time (jit-cached): a
+    # survey processes hundreds of keyframe batches against one compiled
+    # program set, and the CLI persists the XLA compilation cache.
+    pipeline_kf_per_s = _pipeline_bench()
+
     print(json.dumps({
         "metric": "removert_visibility_keyframes_per_s_5M_map",
         "value": round(kf_per_s, 2),
         "unit": "keyframes/s",
         "vs_baseline": round(kf_per_s / 10.0, 2),
+        "pipeline_keyframes_per_s": round(pipeline_kf_per_s, 2),
+        "pipeline_vs_baseline": round(pipeline_kf_per_s / 10.0, 2),
     }))
+
+
+def _pipeline_bench() -> float:
+    """Warm keyframes/s of the FULL Removerter pipeline (cold run compiles,
+    second run is the production number)."""
+    import jax
+
+    from ltm.core.config import RemovertConfig
+    from ltm.removert.pipeline import Removerter
+    from ltm.removert.session import RemovertInput
+    from tools.e2e_bench import synth_session
+
+    rng = np.random.default_rng(0)
+    n_kf, n_pts = 48, 120_000
+    c_scans, c_poses = synth_session(rng, n_kf, n_pts, phase=0.0)
+    q_scans, q_poses = synth_session(rng, n_kf, n_pts, phase=0.25)
+    cfg = RemovertConfig()
+    cfg.downsample_voxel_size = 0.1
+    rm = Removerter(cfg)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        result = rm.run(RemovertInput(scans=c_scans, poses=c_poses),
+                        RemovertInput(scans=q_scans, poses=q_poses),
+                        save_directory=None)
+        jax.block_until_ready(result.masks["updated"])
+        dt = time.perf_counter() - t0
+        total_kf = result.central.num_keyframes + result.query.num_keyframes
+        best = max(best, total_kf / dt)
+    return best
 
 
 if __name__ == "__main__":

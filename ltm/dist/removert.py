@@ -27,6 +27,7 @@ from jax import shard_map
 from ltm.dist.mesh import KF_AXIS
 from ltm.kernels.blocks import (
     BlockMap,
+    block_fused_visibility_images,
     block_projected_scan_images,
     block_sweep_discrepancy,
     block_sweep_discrepancy_vs_images,
@@ -35,6 +36,7 @@ from ltm.kernels.blocks import (
 from ltm.kernels.projection import (
     NO_POINT,
     discrepancy_vs_image,
+    packed_winner_image,
     projected_scan_images,
     winner_mask,
 )
@@ -43,9 +45,11 @@ __all__ = [
     "block_sweep_discrepancy_sharded",
     "block_sweep_visibility_sharded",
     "block_projected_scan_images_sharded",
+    "block_fused_visibility_images_sharded",
     "block_sweep_discrepancy_vs_images_sharded",
     "sweep_visibility_sharded",
     "projected_scan_images_sharded",
+    "fused_visibility_images_sharded",
     "sweep_discrepancy_vs_images_sharded",
     "chunk_knn_sqdists_sharded",
 ]
@@ -151,6 +155,33 @@ def block_projected_scan_images_sharded(
     return fn(source_bm, source_extra, pinv, po)[:K]
 
 
+def block_fused_visibility_images_sharded(
+    mesh: Mesh, source_bm: BlockMap, source_extra,
+    pose_inv, poses, fov, shape, proj_shape, k_blocks: int, max_range: float,
+    scale: float,
+):
+    """Keyframe-sharded :func:`block_fused_visibility_images`: the winner
+    union psum-ORs across devices; the images stay keyframe-sharded (what
+    the vs-images sweep consumes)."""
+    n_dev = mesh.devices.size
+    K = poses.shape[0]
+    pinv, po, _ = _pad_poses_far(pose_inv, poses, n_dev)
+
+    def local(bm_l, se, pi_, po_):
+        win, imgs = block_fused_visibility_images(
+            bm_l, se, pi_, po_, fov, shape, proj_shape,
+            k_blocks=k_blocks, max_range=max_range, scale=scale)
+        return jax.lax.psum(win.astype(jnp.int32), KF_AXIS) > 0, imgs
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(_bm_specs(), P(), P(KF_AXIS), P(KF_AXIS)),
+        out_specs=(P(), P(KF_AXIS)), check_vma=False,
+    )
+    win, imgs = fn(source_bm, source_extra, pinv, po)
+    return win, imgs[:K]
+
+
 def block_sweep_discrepancy_vs_images_sharded(
     mesh: Mesh, target_bm: BlockMap, target_extra,
     scan_imgs, pose_inv, poses, fov, shape, k_blocks: int, max_range: float,
@@ -224,6 +255,37 @@ def projected_scan_images_sharded(mesh: Mesh, source_xyz, source_mask,
         out_specs=P(KF_AXIS), check_vma=False,
     )
     return fn(source_xyz, source_mask, pinv)[:K]
+
+
+def fused_visibility_images_sharded(
+    mesh: Mesh, source_xyz, source_mask, pose_inv, fov, shape, proj_shape,
+    scale: float,
+):
+    """Keyframe-sharded :func:`ltm.kernels.projection.fused_visibility_images`
+    (flat-map variant; padded keyframes carry validity flags)."""
+    n_dev = mesh.devices.size
+    K = pose_inv.shape[0]
+    pinv = _pad_kf_axis(pose_inv, n_dev)
+    kfv = _pad_kf_axis(jnp.ones((K,), bool), n_dev, fill=False)
+
+    def local(sx, sm, pi_, kv):
+        def body(carry, inp):
+            Tinv, v = inp
+            loc = sx @ Tinv[:3, :3].T + Tinv[:3, 3]
+            win, img = packed_winner_image(loc, sm, fov, proj_shape, shape, scale)
+            return carry | (win & v), jnp.where(v, img, NO_POINT)
+
+        init = jax.lax.pcast(jnp.zeros(sx.shape[:-1], bool), KF_AXIS, to="varying")
+        win, imgs = jax.lax.scan(body, init, (pi_, kv))
+        return jax.lax.psum(win.astype(jnp.int32), KF_AXIS) > 0, imgs
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(KF_AXIS), P(KF_AXIS)),
+        out_specs=(P(), P(KF_AXIS)), check_vma=False,
+    )
+    win, imgs = fn(source_xyz, source_mask, pinv, kfv)
+    return win, imgs[:K]
 
 
 def sweep_discrepancy_vs_images_sharded(

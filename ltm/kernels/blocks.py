@@ -40,7 +40,8 @@ from ltm.kernels.projection import discrepancy_mask, winner_mask
 
 __all__ = ["BlockMap", "build_block_map", "build_block_map_with_slots",
            "required_k_blocks",
-           "block_sweep_discrepancy", "block_sweep_visibility"]
+           "block_sweep_discrepancy", "block_sweep_visibility",
+           "block_fused_visibility_images"]
 
 
 class BlockMap(NamedTuple):
@@ -350,6 +351,45 @@ def block_sweep_discrepancy_vs_images(
     init = jnp.zeros((target_bm.num_blocks, target_bm.block_capacity), bool)
     out, _ = jax.lax.scan(body, init, (pose_inv, poses, scan_imgs))
     return out.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "proj_shape", "k_blocks", "scale"))
+def block_fused_visibility_images(
+    source_bm: BlockMap,
+    source_extra: jax.Array,     # flat mask restricting the source (static) set
+    pose_inv: jax.Array,         # (K, 4, 4)
+    poses: jax.Array,            # (K, 4, 4)
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+    proj_shape: Tuple[int, int],
+    k_blocks: int,
+    max_range: float,
+    scale: float,
+):
+    """Block-local fused winner pass: per keyframe ONE packed scatter-min
+    (``packed_winner_image``) yields both the winner (visibility) mask and
+    the filter-resolution winner image — replacing the
+    ``block_sweep_visibility`` + ``block_projected_scan_images`` pair over
+    the same static set (5 dynamic-index ops/point → ~2).  Returns
+    ``(win_union_flat, (K, nrow*ncol) images)``; block selection is
+    identical to the pair it replaces, so flagged sets match."""
+    from ltm.kernels.projection import packed_winner_image
+
+    s_extra = source_extra.reshape(source_bm.num_blocks, source_bm.block_capacity)
+
+    def body(carry, inp):
+        Tinv, T = inp
+        sel, sel_valid = _select_blocks(source_bm, T[:3, 3], max_range, k_blocks)
+        work_xyz = source_bm.xyz[sel].reshape(-1, 3)
+        work_mask = (source_bm.mask[sel] & s_extra[sel] & sel_valid[:, None]).reshape(-1)
+        local = work_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        win, img = packed_winner_image(local, work_mask, fov, proj_shape, shape, scale)
+        carry = carry.at[sel].max(win.reshape(k_blocks, source_bm.block_capacity))
+        return carry, img
+
+    init = jnp.zeros((source_bm.num_blocks, source_bm.block_capacity), bool)
+    out, imgs = jax.lax.scan(body, init, (pose_inv, poses))
+    return out.reshape(-1), imgs
 
 
 @partial(jax.jit, static_argnames=("fov", "shape", "k_blocks"))

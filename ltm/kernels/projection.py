@@ -32,6 +32,8 @@ __all__ = [
     "spherical_project",
     "range_image",
     "winner_mask",
+    "packed_winner_image",
+    "fused_visibility_images",
     "discrepancy_mask",
     "discrepancy_vs_image",
     "projected_scan_images",
@@ -98,6 +100,124 @@ def winner_mask(xyz: jax.Array, mask: jax.Array, fov, shape, img: jax.Array | No
     if img is None:
         img = range_image(xyz, mask, fov, shape)
     return mask & (rng <= img[pix]), pix, rng, img
+
+
+_PACKED_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+def _pix_rowcol(xyz: jax.Array, fov, shape):
+    """Row/col indices of :func:`spherical_project` (kept in sync)."""
+    vfov, hfov = float(fov[0]), float(fov[1])
+    nrow, ncol = shape
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    rxy = jnp.sqrt(x * x + y * y)
+    rng = jnp.sqrt(x * x + y * y + z * z)
+    az = jnp.degrees(jnp.arctan2(y, x))
+    el = jnp.degrees(jnp.arctan2(z, rxy))
+    row = jnp.round(nrow * (1.0 - (el + vfov / 2.0) / vfov))
+    col = jnp.round(ncol * ((az + hfov / 2.0) / hfov))
+    row = jnp.clip(row, 0, nrow - 1).astype(jnp.int32)
+    col = jnp.clip(col, 0, ncol - 1).astype(jnp.int32)
+    return row, col, rng
+
+
+def packed_winner_image(xyz_local: jax.Array, mask: jax.Array, fov,
+                        proj_shape: Tuple[int, int], shape: Tuple[int, int],
+                        scale: float):
+    """Winner mask at ``proj_shape`` + range image at ``shape`` of the
+    winners — in ONE scatter-min pass over the points.
+
+    This fuses the hot pair ``winner_mask`` (projected static scan, α=3) →
+    ``range_image`` (filter-resolution image of those winners): the naive
+    composition costs 3 dynamic-index ops per point per keyframe (scatter +
+    gather + scatter) and dynamic-index ops serialize on the TPU scalar unit
+    (~6 cycles/element — see the module docstring), so at whole-map winner
+    projections it dominates the LT-removert pipeline.  Here each point
+    scatter-mins ONE packed int32
+
+        packed = round(range·scale)·16 + (Δrow+1)·4 + (Δcol+1)
+
+    where Δrow/Δcol ∈ {−1,0,+1} locate the point's ``shape`` pixel relative
+    to a base derived from its ``proj_shape`` pixel (valid whenever ``shape``
+    is no finer than ``proj_shape`` per axis — the removert operating point,
+    filter res 2.5 vs reprojection α=3).  The per-proj-pixel minimum then
+    carries both the winner's range (fixed-point, resolution 1/scale — pick
+    ``scale = 2²⁷/B`` for a range bound B, e.g. ~15 µm at B=2048, far below
+    the 0.1 m decision threshold and comparable to f32 ulp at range) and its
+    ``shape`` pixel, so the winner image needs only a dense decode plus a
+    scatter over the n_proj_pixels — ~2 ops/point total instead of 3, and
+    callers that ALSO need the winner mask (static-map visibility) share the
+    same pass instead of re-projecting (5 ops → ~2).
+
+    Winner tie-breaking: exact fixed-point range ties resolve by Δ bits then
+    by scatter-min determinism — one winner per pixel like the reference's
+    ptidx image (``map2RangeImg``, ``utility.cpp:104,137``), minus its data
+    race.  Returns ``(win_mask, img_shape_flat)``.
+    """
+    nrow_p, ncol_p = proj_shape
+    nrow_s, ncol_s = shape
+    if nrow_s > nrow_p or ncol_s > ncol_p:
+        raise ValueError(f"shape {shape} must be no finer than proj_shape {proj_shape}")
+    rratio = jnp.float32(nrow_s / nrow_p)
+    cratio = jnp.float32(ncol_s / ncol_p)
+
+    row_p, col_p, rng = _pix_rowcol(xyz_local, fov, proj_shape)
+    row_s, col_s, _ = _pix_rowcol(xyz_local, fov, shape)
+    base_r = jnp.round(rratio * row_p.astype(jnp.float32)).astype(jnp.int32)
+    base_c = jnp.round(cratio * col_p.astype(jnp.float32)).astype(jnp.int32)
+    dr = jnp.clip(row_s - base_r + 1, 0, 2)
+    dc = jnp.clip(col_s - base_c + 1, 0, 2)
+    q = jnp.clip(jnp.round(rng * scale), 0, float(2 ** 27 - 1)).astype(jnp.int32)
+    packed = jnp.where(mask, q * 16 + dr * 4 + dc, _PACKED_SENTINEL)
+
+    pix_p = row_p * ncol_p + col_p
+    n_pix_p = nrow_p * ncol_p
+    img_p = jnp.full((n_pix_p,), _PACKED_SENTINEL, jnp.int32)
+    img_p = img_p.at[pix_p].min(packed, mode="drop")
+
+    win = mask & (packed == img_p[pix_p])
+
+    # dense decode over proj pixels -> scatter the winners' ranges at `shape`
+    pidx = jnp.arange(n_pix_p, dtype=jnp.int32)
+    prow = pidx // ncol_p
+    pcol = pidx % ncol_p
+    wbase_r = jnp.round(rratio * prow.astype(jnp.float32)).astype(jnp.int32)
+    wbase_c = jnp.round(cratio * pcol.astype(jnp.float32)).astype(jnp.int32)
+    valid = img_p != _PACKED_SENTINEL
+    wq = img_p // 16
+    wdr = (img_p // 4) % 4
+    wdc = img_p % 4
+    wrow = jnp.clip(wbase_r + wdr - 1, 0, nrow_s - 1)
+    wcol = jnp.clip(wbase_c + wdc - 1, 0, ncol_s - 1)
+    wpix = wrow * ncol_s + wcol
+    wrng = jnp.where(valid, wq.astype(jnp.float32) / scale, jnp.inf)
+    img_s = jnp.full((nrow_s * ncol_s,), NO_POINT, jnp.float32)
+    img_s = img_s.at[wpix].min(wrng, mode="drop")
+    return win, img_s
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "proj_shape", "scale"))
+def fused_visibility_images(
+    source_xyz: jax.Array,          # (M, 3) global
+    source_mask: jax.Array,         # (M,)
+    pose_inv: jax.Array,            # (K, 4, 4)
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],         # filter-diff image resolution
+    proj_shape: Tuple[int, int],    # winner (reprojection) resolution, α=3
+    scale: float,
+):
+    """(visible-from-any-keyframe union mask, (K, nrow*ncol) winner images)
+    — the fused replacement for ``sweep_visibility`` + ``projected_scan_images``
+    over the same static set (one packed pass per keyframe instead of two
+    winner projections; see :func:`packed_winner_image`)."""
+
+    def body(carry, Tinv):
+        local = source_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        win, img = packed_winner_image(local, source_mask, fov, proj_shape, shape, scale)
+        return carry | win, img
+
+    init = jnp.zeros(source_xyz.shape[:-1], bool)
+    return jax.lax.scan(body, init, pose_inv)
 
 
 def discrepancy_vs_image(

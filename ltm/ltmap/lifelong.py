@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -35,13 +36,33 @@ class LifelongResult:
     round_stats: List[Dict] = field(default_factory=list)
 
 
+def _all_winners_packed(comb, upd, pose_inv, fov, proj_shape):
+    """(K, ceil(N/8)) bit-packed winner masks for ALL keyframes in one jitted
+    scan — replaces a per-keyframe Python loop whose N-sized boolean host
+    transfers dominated at scale (one 8x-compressed transfer instead of K)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ltm.kernels.projection import winner_mask
+
+    @partial(jax.jit, static_argnames=("fov", "proj_shape"))
+    def run(comb, upd, pose_inv, fov, proj_shape):
+        def body(_, Tinv):
+            local = comb @ Tinv[:3, :3].T + Tinv[:3, 3]
+            win, *_ = winner_mask(local, upd, fov, proj_shape)
+            return None, jnp.packbits(win)
+
+        _, out = jax.lax.scan(body, None, pose_inv)
+        return out
+
+    return run(comb, upd, pose_inv, fov, proj_shape)
+
+
 def _updated_scans_as_input(result: RemovertResult, base: RemovertInput,
                             cfg: RemovertConfig, fov) -> RemovertInput:
     """Per-keyframe updated scans (winner reprojection of the updated map +
     weak-ND + PD, ``updateScansScanwise``) as the next round's live session."""
-    import jax.numpy as jnp
-
-    from ltm.kernels.projection import rimg_shape, winner_mask
+    from ltm.kernels.projection import rimg_shape
 
     proj_shape = rimg_shape(fov, cfg.reprojection_alpha)
     c = result.central
@@ -49,11 +70,14 @@ def _updated_scans_as_input(result: RemovertResult, base: RemovertInput,
     kf = c.keyframe_indices
     comb = result.combined_xyz
     upd = result.masks["updated"]
-    for k in range(c.num_keyframes):
-        Tinv = c.poses_inv[k]
-        local = comb @ Tinv[:3, :3].T + Tinv[:3, 3]
-        win, *_ = winner_mask(local, upd, fov, proj_shape)
-        pts = np.asarray(local)[np.asarray(win)]
+    K = c.num_keyframes
+    packed = np.asarray(_all_winners_packed(comb, upd, c.poses_inv[:K], fov, proj_shape))
+    comb_h = np.asarray(comb)
+    n = comb_h.shape[0]
+    pinv_h = np.asarray(c.poses_inv[:K])
+    for k in range(K):
+        win = np.unpackbits(packed[k])[:n].astype(bool)
+        pts = (comb_h[win] @ pinv_h[k, :3, :3].T + pinv_h[k, :3, 3]).astype(np.float32)
         scans.append(np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], axis=1).astype(np.float32))
     # session poses store base∘lidar2base; RemovertInput expects base poses
     # (the extrinsic is re-applied at build time)

@@ -29,19 +29,17 @@ import numpy as np
 
 from ltm.core.config import RemovertConfig
 from ltm.kernels.blocks import (
-    block_projected_scan_images,
+    block_fused_visibility_images,
     block_sweep_discrepancy,
     block_sweep_discrepancy_vs_images,
-    block_sweep_visibility,
     build_block_map_with_slots,
 )
 from ltm.kernels.knn import chunked_knn_avg_sqdist
 from ltm.kernels.projection import (
-    projected_scan_images,
+    fused_visibility_images,
     rimg_shape,
     sweep_discrepancy,
     sweep_discrepancy_vs_images,
-    sweep_visibility,
     winner_mask,
 )
 from ltm.kernels.voxel import voxel_unique_mask
@@ -94,6 +92,10 @@ class Removerter:
         self._origins = np.zeros((0, 3))
         self._kb_cache: dict = {}
         self._vis_cache: dict = {}
+        # per-run fused winner images: session id -> (K, n_pix) filter-res
+        # images of the projected static scans (built once in the
+        # project_static stage, consumed by every strong-weak filter repeat)
+        self._img_cache: dict = {}
         # device mesh for the hot loops (cfg.mesh_devices; the reference's
         # OpenMP-by-default analog at chip scale, Session.cpp:408,491)
         self.mesh = None
@@ -114,10 +116,20 @@ class Removerter:
         # ---------------- Step 0: prep -----------------------------------
         with stage_timer("removert.prep", log):
             c_idx = parse_keyframe_indices(len(central_inp.scans), cfg.start_idx, cfg.end_idx, cfg.keyframe_gap)
-            central = RemovertSession.build(central_inp, cfg, "Central", c_idx)
-            roi = np.asarray(central.poses)[: central.num_keyframes].astype(np.float64)
+            # the query ROI needs only the central keyframe POSES (known from
+            # the input), not the built session — so both session builds
+            # (host voxel prep, transfers, device merge + block build) can
+            # overlap: the native voxel grid releases the GIL and device
+            # dispatch is async, so two builds nearly halve the stage
+            lidar2base = np.asarray(cfg.extrinsic_lidar_to_base, np.float64).reshape(4, 4)
+            roi = np.asarray([central_inp.poses[i] @ lidar2base for i in c_idx]).reshape(-1, 4, 4)
             q_idx = parse_keyframes_in_roi(query_inp.poses, roi, cfg.roi_inplace_threshold, cfg.keyframe_gap)
-            query = RemovertSession.build(query_inp, cfg, "Query", q_idx)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                f_c = ex.submit(RemovertSession.build, central_inp, cfg, "Central", c_idx)
+                f_q = ex.submit(RemovertSession.build, query_inp, cfg, "Query", q_idx)
+                central, query = f_c.result(), f_q.result()
         log.info("central: %d keyframes, %d map pts | query: %d keyframes, %d map pts",
                  central.num_keyframes, int(central.map_mask.sum()),
                  query.num_keyframes, int(query.map_mask.sum()))
@@ -130,6 +142,7 @@ class Removerter:
         ]) if (central.num_keyframes + query.num_keyframes) else np.zeros((0, 3))
         self._kb_cache = {}
         self._vis_cache = {}
+        self._img_cache = {}
         for sess in (central, query):
             if sess.bm is not None:
                 log.info("%s: block map %d blocks x %d cap, fwd bound %.1f m, "
@@ -141,42 +154,16 @@ class Removerter:
         with stage_timer("removert.high_dynamic", log):
             for sess in (central, query):
                 self._remove_high_dynamic(sess, fov)
-        # projected static coverage at the reprojection resolution
+        # projected static coverage at the reprojection resolution — fused
+        # with the strong-weak filter's source images: the same per-keyframe
+        # winner pass over the same static set produces both (one packed
+        # scatter-min instead of two winner projections + an image build;
+        # see kernels.projection.packed_winner_image)
         with stage_timer("removert.project_static", log):
-            proj_shape = rimg_shape(fov, cfg.reprojection_alpha)
             for sess in (central, query):
-                # slice to real keyframes: padded pose entries are identity
-                # matrices, i.e. a phantom viewpoint at the global origin
-                K = sess.num_keyframes
-                if sess.bm is not None:
-                    kb, mr = self._kb(sess.bm, self._vis_bound(sess))
-                    if self.mesh is not None:
-                        from ltm.dist.removert import block_sweep_visibility_sharded
-
-                        sess.masks["proj_static"] = block_sweep_visibility_sharded(
-                            self.mesh, sess.bm, sess.masks["static"],
-                            sess.poses_inv[:K], sess.poses[:K], fov, proj_shape,
-                            k_blocks=kb, max_range=mr,
-                        )
-                    else:
-                        sess.masks["proj_static"] = block_sweep_visibility(
-                            sess.bm, sess.masks["static"],
-                            sess.poses_inv[:K], sess.poses[:K], fov, proj_shape,
-                            k_blocks=kb,
-                            max_range=mr,
-                        )
-                elif self.mesh is not None:
-                    from ltm.dist.removert import sweep_visibility_sharded
-
-                    sess.masks["proj_static"] = sweep_visibility_sharded(
-                        self.mesh, sess.map_xyz, sess.masks["static"],
-                        sess.poses_inv[:K], fov, proj_shape,
-                    )
-                else:
-                    sess.masks["proj_static"] = sweep_visibility(
-                        sess.map_xyz, sess.masks["static"], sess.poses_inv[:K],
-                        fov, proj_shape
-                    )
+                proj_static, imgs = self._project_static_and_images(sess, fov)
+                sess.masks["proj_static"] = proj_static
+                self._img_cache[id(sess)] = imgs
 
         # ---------------- Step 2: low-dynamic change detection ------------
         with stage_timer("removert.knn_diff", log):
@@ -279,6 +266,61 @@ class Removerter:
         self._kb_cache[key] = (need, bound)
         log.info("block budget: %d/%d blocks within %.0f m", need, bm.num_blocks, bound)
         return need, bound
+
+    def _pack_scale(self, sess: RemovertSession) -> float:
+        """Fixed-point scale for the packed winner pass: 2²⁷ units over the
+        session's pow-2-bucketed visibility bound (pow-2 keeps the static
+        jit arg stable across similar maps).  Resolution B/2²⁷ — ~15 µm at
+        B=2 km — far below the 0.1 m decision threshold and the f32 ulp at
+        those ranges."""
+        if sess.bm is not None:
+            b = self._vis_bound(sess)
+        else:
+            ext = jnp.where(sess.map_mask[:, None], sess.map_xyz, 0.0)
+            b = float(jnp.max(jnp.linalg.norm(ext, axis=-1)))
+            if self._origins.size:
+                b += float(np.linalg.norm(self._origins, axis=-1).max())
+        B = float(1 << max(8, int(np.ceil(b + 1.0) - 1).bit_length()))
+        return float(2 ** 27) / B
+
+    def _project_static_and_images(self, sess: RemovertSession, fov):
+        """One fused winner pass per keyframe over the session's static set:
+        returns (visible-from-any-keyframe mask at the reprojection
+        resolution α=3 — ``parseScansViaProjection``/``parseStaticScans…``,
+        ``Session.cpp:305-360`` — and the (K, n_pix) filter-resolution range
+        images of those projected static scans, the source side of
+        ``filterStrongND``/``filterStrongPD``)."""
+        cfg = self.cfg
+        proj_shape = rimg_shape(fov, cfg.reprojection_alpha)
+        shape = rimg_shape(fov, cfg.nd_pd_filter_resolution)
+        K = sess.num_keyframes
+        scale = self._pack_scale(sess)
+        if sess.bm is not None:
+            kb, mr = self._kb(sess.bm, self._vis_bound(sess))
+            if self.mesh is not None:
+                from ltm.dist.removert import block_fused_visibility_images_sharded
+
+                return block_fused_visibility_images_sharded(
+                    self.mesh, sess.bm, sess.masks["static"],
+                    sess.poses_inv[:K], sess.poses[:K], fov, shape, proj_shape,
+                    k_blocks=kb, max_range=mr, scale=scale,
+                )
+            return block_fused_visibility_images(
+                sess.bm, sess.masks["static"],
+                sess.poses_inv[:K], sess.poses[:K], fov, shape, proj_shape,
+                k_blocks=kb, max_range=mr, scale=scale,
+            )
+        if self.mesh is not None:
+            from ltm.dist.removert import fused_visibility_images_sharded
+
+            return fused_visibility_images_sharded(
+                self.mesh, sess.map_xyz, sess.masks["static"],
+                sess.poses_inv[:K], fov, shape, proj_shape, scale=scale,
+            )
+        return fused_visibility_images(
+            sess.map_xyz, sess.masks["static"], sess.poses_inv[:K],
+            fov, shape, proj_shape, scale=scale,
+        )
 
     def _sweep(self, sess: RemovertSession, mask, fov, res):
         shape = rimg_shape(fov, res)
@@ -392,69 +434,64 @@ class Removerter:
         ``Removerter.cpp:1395-1411``; reversed diff for ND per ``:516``)."""
         cfg = self.cfg
         shape = rimg_shape(fov, cfg.nd_pd_filter_resolution)
-        proj_shape = rimg_shape(fov, cfg.reprojection_alpha)
         cur = cand
         weak = jnp.zeros_like(cand)
         use_blocks = sess.bm is not None and source.bm is not None
         Ks = source.num_keyframes  # padded poses are identity (phantom origin view)
         # the source side (transform + winner projection + image scatter) is
-        # identical across repeats: build the per-keyframe projected-scan
-        # images ONCE, then each repeat only projects the shrinking delta set
+        # identical across repeats AND identical to the projected-static
+        # winner pass — the fused project_static stage built these images
+        # once per session (kernels.blocks.block_fused_visibility_images);
+        # each repeat only projects the shrinking delta set against them
+        imgs = self._img_cache[id(source)]
+        dbm = d_slots = None
         if use_blocks:
-            # source side: winner projection — needs the source visibility
-            # bound; target side: a flagged point's range is bounded by the
-            # largest source image pixel (≤ source vis bound), plus
+            # target side: a flagged point's range is bounded by the largest
+            # source image pixel (≤ source vis bound), plus
             # kValidDiffUpperBound when the diff is reversed (ND)
+            from ltm.kernels.blocks import required_k_blocks
+
             from ltm.kernels.projection import VALID_DIFF_UB
 
-            kb_s, mr_s = self._kb(source.bm, self._vis_bound(source))
             bound_t = self._vis_bound(source) + (VALID_DIFF_UB if reverse else 0.0)
-            kb_t, mr_t = self._kb(sess.bm, bound_t)
-            if self.mesh is not None:
-                from ltm.dist.removert import block_projected_scan_images_sharded
-
-                imgs = block_projected_scan_images_sharded(
-                    self.mesh, source.bm, source.masks["static"],
-                    source.poses_inv[:Ks], source.poses[:Ks], fov, shape, proj_shape,
-                    k_blocks=kb_s, max_range=mr_s,
-                )
+            _, mr_t = self._kb(sess.bm, bound_t)
+            # the candidate (delta) set is typically a small fraction of the
+            # map, and the map's block layout pads it further (delta points
+            # share blocks with non-delta ones) — so re-block JUST the delta
+            # set into a tight layout: same points, same images, identical
+            # per-pixel winner semantics (winners are computed within the
+            # delta set either way), but every sweep now touches only
+            # delta-packed blocks (one sort + two N-sized gathers amortized
+            # over 2x3 repeat sweeps x K keyframes)
+            bcap = sess.bm.block_capacity
+            n_del = int(cand.sum())
+            if n_del:
+                need = max((n_del * 5 + 4 * bcap - 1) // (4 * bcap), 1)
+                nb_d = 1 << (need - 1).bit_length()
+                dbm, ov, d_slots = build_block_map_with_slots(
+                    sess.map_xyz, cand, cfg.block_cell_size, nb_d, bcap)
+                if int(ov):
+                    dbm = d_slots = None   # degenerate extents: map layout
+            if dbm is not None:
+                kb_eff = required_k_blocks(
+                    dbm, self._origins, float(np.ceil(mr_t / 25.0) * 25.0))
+                cur = dbm.flat_mask()
+                weak = jnp.zeros_like(cur)
             else:
-                imgs = block_projected_scan_images(
-                    source.bm, source.masks["static"],
-                    source.poses_inv[:Ks], source.poses[:Ks], fov, shape, proj_shape,
-                    k_blocks=kb_s,
-                    max_range=mr_s,
-                )
-        elif self.mesh is not None:
-            from ltm.dist.removert import projected_scan_images_sharded
-
-            imgs = projected_scan_images_sharded(
-                self.mesh, source.map_xyz, source.masks["static"],
-                source.poses_inv[:Ks], fov, shape, proj_shape,
-            )
-        else:
-            imgs = projected_scan_images(
-                source.map_xyz, source.masks["static"], source.poses_inv[:Ks],
-                fov, shape, proj_shape,
-            )
-        if use_blocks:
-            # the candidate (delta) set occupies FEW blocks and the sweep
-            # kernel restricts selection to delta-occupied ones (exact: an
-            # empty block contributes nothing), so k_blocks sizes by the
-            # INITIAL delta's block count — repeats only shrink the set.
-            # One host sync per direction, repeats stay fully async.
-            nb, bcap = sess.bm.num_blocks, sess.bm.block_capacity
-            n_cb = int(jnp.any(cand.reshape(nb, bcap), axis=1).sum())
-            kb_eff = max(min(kb_t, ((n_cb + 127) // 128) * 128), 128)
+                kb_t, _ = self._kb(sess.bm, bound_t)
+                nb = sess.bm.num_blocks
+                n_cb = int(jnp.any(cand.reshape(nb, bcap), axis=1).sum())
+                kb_eff = max(min(kb_t, ((n_cb + 127) // 128) * 128), 128)
         for _ in range(cfg.nd_pd_filter_repeats):
             if use_blocks:
+                bm_eff = dbm if dbm is not None else sess.bm
                 if self.mesh is not None:
                     from ltm.dist.removert import (
                         block_sweep_discrepancy_vs_images_sharded,
                     )
 
                     flagged = block_sweep_discrepancy_vs_images_sharded(
-                        self.mesh, sess.bm, cur, imgs,
+                        self.mesh, bm_eff, cur, imgs,
                         source.poses_inv[:Ks], source.poses[:Ks],
                         fov, shape, k_blocks=kb_eff,
                         max_range=mr_t,
@@ -462,7 +499,7 @@ class Removerter:
                     )
                 else:
                     flagged = block_sweep_discrepancy_vs_images(
-                        sess.bm, cur, imgs, source.poses_inv[:Ks], source.poses[:Ks],
+                        bm_eff, cur, imgs, source.poses_inv[:Ks], source.poses[:Ks],
                         fov, shape, k_blocks=kb_eff,
                         max_range=mr_t,
                         diff_threshold=cfg.diff_threshold, reverse=reverse,
@@ -481,6 +518,14 @@ class Removerter:
                 )
             weak = weak | flagged
             cur = cur & ~flagged
+        if dbm is not None:
+            # map the delta-layout verdicts back to original map indices
+            # (d_slots: orig index -> flat delta slot, sentinel = not in the
+            # delta set; a False pad row absorbs the sentinel)
+            pad_cur = jnp.concatenate([cur, jnp.zeros((1,), bool)])
+            pad_weak = jnp.concatenate([weak, jnp.zeros((1,), bool)])
+            cur = cand & pad_cur[d_slots]
+            weak = cand & pad_weak[d_slots]
         return cur, weak
 
     def _knn_stat(self, query_xyz, query_mask, target_xyz, target_mask,

@@ -161,3 +161,51 @@ def test_block_sweep_exact_when_culling_bites(rng):
     np.testing.assert_allclose(
         got_pts[np.lexsort(got_pts.T)], ref_pts[np.lexsort(ref_pts.T)], atol=0
     )
+
+
+def test_fused_visibility_images_matches_pair(rng):
+    """The fused packed winner pass == (sweep_visibility at proj res +
+    projected_scan_images), flat and blocked: same visibility union, images
+    equal to fixed-point resolution, identical downstream flag decisions."""
+    fov, shape, proj_shape = (50.0, 360.0), (25, 180), (30, 216)
+    s_xyz, s_mask = make_scene(rng, n=3000)
+    K = 3
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[:, 0, 3] = [-25, 5, 30]
+    pose_inv = jnp.asarray(np.linalg.inv(poses))
+    poses_j = jnp.asarray(poses)
+    scale = float(2 ** 27) / 512.0  # bound 512 m covers the scene
+
+    ref_vis = projection.sweep_visibility(s_xyz, s_mask, pose_inv, fov, proj_shape)
+    ref_imgs = projection.projected_scan_images(
+        s_xyz, s_mask, pose_inv, fov, shape, proj_shape)
+    win, imgs = projection.fused_visibility_images(
+        s_xyz, s_mask, pose_inv, fov, shape, proj_shape, scale=scale)
+    # visibility union: packed tie-breaking keeps ONE winner per pixel where
+    # the old kernel kept all exact-range ties — random f32 data has none
+    np.testing.assert_array_equal(np.asarray(win), np.asarray(ref_vis))
+    # images agree to the fixed-point resolution (here ~4 um)
+    both = (np.asarray(imgs) < 9000) & (np.asarray(ref_imgs) < 9000)
+    assert (np.asarray(imgs) < 9000).sum() == (np.asarray(ref_imgs) < 9000).sum()
+    np.testing.assert_allclose(np.asarray(imgs)[both], np.asarray(ref_imgs)[both],
+                               atol=2.0 * 512.0 / 2 ** 27)
+
+    # identical downstream decisions
+    t_xyz, t_mask = make_scene(rng)
+    for reverse in (False, True):
+        a = projection.sweep_discrepancy_vs_images(
+            t_xyz, t_mask, imgs, pose_inv, fov, shape, 0.1, reverse)
+        b = projection.sweep_discrepancy_vs_images(
+            t_xyz, t_mask, ref_imgs, pose_inv, fov, shape, 0.1, reverse)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # blocked == flat (bit-identical: same kernel over a gathered layout)
+    s_bm, _ = blocks.build_block_map(s_xyz, s_mask, 20.0, 512, 128)
+    win_b, imgs_b = blocks.block_fused_visibility_images(
+        s_bm, s_bm.flat_mask(), pose_inv, poses_j, fov, shape, proj_shape,
+        k_blocks=512, max_range=1e6, scale=scale)
+    got_pts = np.asarray(s_bm.flat_xyz())[np.asarray(win_b)]
+    ref_pts = np.asarray(s_xyz)[np.asarray(win)]
+    np.testing.assert_allclose(
+        got_pts[np.lexsort(got_pts.T)], ref_pts[np.lexsort(ref_pts.T)], atol=0)
+    np.testing.assert_array_equal(np.asarray(imgs_b), np.asarray(imgs))
