@@ -39,15 +39,16 @@ class ICPConfig:
     max_correspondence_distance: float = 150.0
     max_iterations: int = 100
     transformation_epsilon: float = 1e-6
-    # also require ICPResult.converged for loop acceptance (the reference
-    # checks icp.hasConverged() alongside the fitness threshold,
-    # ``ltslam/src/LTslam.cpp:216``; ltm's converged reports
-    # epsilon-convergence + non-degeneracy — see ltm/register/icp.py — so
-    # acceptance can differ near max-iteration exits; off by default to
-    # keep the fitness-only behavior that validated round 1)
-    require_converged: bool = False
-    # PCL's third convergence criterion (relative MSE change) is not
-    # implemented — loop acceptance is governed by the fitness threshold
+    # require ICPResult.converged for loop acceptance, mirroring the
+    # reference's ``icp.hasConverged() && fitness < thr`` accept test
+    # (``ltslam/src/LTslam.cpp:222``).  ltm's converged now carries PCL
+    # hasConverged() semantics — true on any criterion exit (transform
+    # epsilon, absolute-MSE epsilon, or max iterations; PCL's
+    # failure_after_max_iter defaults false), false only for degenerate
+    # inputs — so this default-on gate matches the reference exactly
+    require_converged: bool = True
+    # PCL setEuclideanFitnessEpsilon (``LTslam.cpp:210``): stop when the
+    # correspondence MSE changes by less than this between iterations
     euclidean_fitness_epsilon: float = 1e-6
     # non-PCL extension: trim correspondences beyond this distance from the
     # rigid update (None = strict reference behavior)

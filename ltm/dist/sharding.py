@@ -189,10 +189,10 @@ def icp_batch_sharded(mesh: Mesh, src_xyz, src_mask, tgt_xyz, tgt_mask,
     fn = shard_map(
         local, mesh=mesh,
         in_specs=(P(KF_AXIS), P(KF_AXIS), P(KF_AXIS), P(KF_AXIS), P(KF_AXIS)),
-        out_specs=(P(KF_AXIS), P(KF_AXIS), P(KF_AXIS), P(KF_AXIS)),
+        out_specs=(P(KF_AXIS), P(KF_AXIS), P(KF_AXIS), P(KF_AXIS), P(KF_AXIS)),
         check_vma=False,
     )
-    T, conv, fit, iters = fn(src_xyz, src_mask, tgt_xyz, tgt_mask, init_transforms)
+    T, conv, fit, iters, crit = fn(src_xyz, src_mask, tgt_xyz, tgt_mask, init_transforms)
     from ltm.register.icp import ICPResult
 
-    return ICPResult(T[:b], conv[:b], fit[:b], iters[:b])
+    return ICPResult(T[:b], conv[:b], fit[:b], iters[:b], crit[:b])

@@ -27,11 +27,21 @@ from ltm.kernels.knn import nn_sqdist_argmin
 __all__ = ["ICPResult", "icp_point_to_point", "icp_batch", "fitness_score"]
 
 
+CRIT_NONE = 0          # degenerate inputs — no iteration ran
+CRIT_TRANSFORM_EPS = 1  # consecutive-transform change below epsilon
+CRIT_ABS_MSE = 2        # |MSE_k - MSE_{k-1}| below euclidean_fitness_epsilon
+CRIT_MAX_ITER = 3       # iteration budget exhausted
+
+
 class ICPResult(NamedTuple):
     transform: jax.Array    # (4, 4) target_from_source correction
-    converged: jax.Array    # bool — transformation epsilon reached
+    converged: jax.Array    # bool — PCL hasConverged() semantics: true for any
+                            # criterion exit incl. max iterations (PCL's
+                            # failure_after_max_iter defaults false), false only
+                            # for degenerate (empty) inputs
     fitness: jax.Array      # mean squared NN distance (PCL getFitnessScore)
     iterations: jax.Array
+    criterion: jax.Array    # int32 CRIT_* — which criterion ended the loop
 
 
 def _umeyama_rigid(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
@@ -61,6 +71,7 @@ def icp_point_to_point(
     max_correspondence_distance: float = 150.0,
     max_iterations: int = 100,
     transformation_epsilon: float = 1e-6,
+    euclidean_fitness_epsilon: float = 1e-6,
     tile: int = 4096,
     update_trim_distance: float | None = None,
     coarse_iterations: int = 0,
@@ -74,22 +85,31 @@ def icp_point_to_point(
     ``coarse_iterations > 0`` enables a coarse-to-fine schedule: the first
     phase iterates against every ``coarse_stride``-th target point (NN cost
     scales with target size), then refines on the full target.  Final
-    transform/fitness always come from full-resolution iterations."""
+    transform/fitness always come from full-resolution iterations.
+
+    Convergence mirrors PCL ``DefaultConvergenceCriteria`` as configured by
+    the reference (``ltslam/src/LTslam.cpp:206-211``): consecutive-transform
+    epsilon OR absolute-MSE change (``setEuclideanFitnessEpsilon(1e-6)``,
+    ``:210``) OR max iterations; ``converged`` follows ``hasConverged()``
+    (true on any of those exits — PCL's ``failure_after_max_iter`` defaults
+    false — false only for degenerate inputs), so the reference's accept test
+    ``hasConverged() && fitness < thr`` (``:222``) transfers verbatim."""
     T0 = jnp.eye(4, dtype=src_xyz.dtype) if init_transform is None else init_transform
     trim = max_correspondence_distance if update_trim_distance is None else update_trim_distance
     max_d2 = jnp.minimum(max_correspondence_distance, trim) ** 2
     has_tgt = jnp.any(tgt_mask)
     has_src = jnp.any(src_mask)
+    INF = jnp.asarray(jnp.inf, src_xyz.dtype)
 
     def run_phase(T_init, n_it_init, t_xyz, t_mask, iters):
         def cond(state):
-            _, done, n_it = state
+            _, done, n_it, _, _ = state
             # under vmap this is "any lane still active": the whole batch
             # stops as soon as every member converged
             return (~done) & (n_it < iters)
 
         def body(state):
-            T, done, n_it = state
+            T, done, n_it, prev_mse, crit = state
 
             def step(_):
                 moved = se3.transform_points(T, src_xyz)
@@ -100,26 +120,33 @@ def icp_point_to_point(
                 T_new = se3.compose(delta, T)
                 # PCL transformation epsilon: sq diff of consecutive transforms
                 dT = jnp.sum((T_new - T) ** 2)
-                return T_new, dT < transformation_epsilon, n_it + 1
+                eps_hit = dT < transformation_epsilon
+                # PCL absolute-MSE criterion (setEuclideanFitnessEpsilon):
+                # |MSE_k − MSE_{k−1}| of the in-range correspondences
+                mse = jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), 1.0)
+                mse_hit = jnp.abs(mse - prev_mse) < euclidean_fitness_epsilon
+                new_crit = jnp.where(
+                    eps_hit, CRIT_TRANSFORM_EPS,
+                    jnp.where(mse_hit, CRIT_ABS_MSE, crit))
+                return T_new, eps_hit | mse_hit, n_it + 1, mse, new_crit
 
-            return jax.lax.cond(done, lambda _: (T, done, n_it), step, None)
+            return jax.lax.cond(done, lambda _: state, step, None)
 
-        init = (T_init, ~(has_tgt & has_src), n_it_init)
+        init = (T_init, ~(has_tgt & has_src), n_it_init, INF,
+                jnp.asarray(CRIT_NONE, jnp.int32))
         return jax.lax.while_loop(cond, body, init)
 
     n_it0 = jnp.asarray(0)
     if coarse_iterations > 0:
         c_xyz = tgt_xyz[::coarse_stride]
         c_mask = tgt_mask[::coarse_stride]
-        T0, _, n_it0 = run_phase(T0, n_it0, c_xyz, c_mask, coarse_iterations)
-    T, done, n_it = run_phase(T0, n_it0, tgt_xyz, tgt_mask, max_iterations)
+        T0, _, n_it0, _, _ = run_phase(T0, n_it0, c_xyz, c_mask, coarse_iterations)
+    T, done, n_it, _, crit = run_phase(T0, n_it0, tgt_xyz, tgt_mask, max_iterations)
 
     fit = fitness_score(src_xyz, src_mask, tgt_xyz, tgt_mask, T, tile=tile)
-    # "converged" in the reference's accept test is PCL's criterion state,
-    # which is true whenever iterations ran (incl. max-iterations exit);
-    # the effective filter is the fitness threshold.  We report epsilon
-    # convergence and non-degenerate inputs.
-    return ICPResult(T, done & has_tgt & has_src, fit, n_it)
+    ran = has_tgt & has_src
+    crit = jnp.where(ran & ~done, CRIT_MAX_ITER, crit)
+    return ICPResult(T, ran, fit, n_it, crit)
 
 
 @partial(jax.jit, static_argnames=("tile",))

@@ -348,6 +348,7 @@ class LTSlam:
                 max_correspondence_distance=cfg.max_correspondence_distance,
                 max_iterations=cfg.max_iterations,
                 transformation_epsilon=cfg.transformation_epsilon,
+                euclidean_fitness_epsilon=cfg.euclidean_fitness_epsilon,
                 tile=4096,
                 update_trim_distance=cfg.update_trim_distance,
                 coarse_iterations=cfg.coarse_iterations,

@@ -82,3 +82,38 @@ def test_icp_coarse_to_fine(rng):
     err = np.asarray(se3.log(se3.between(jnp.asarray(T_gt, jnp.float32), res.transform)))
     assert np.abs(err).max() < 2e-3, err
     assert float(res.fitness) < 1e-3
+
+
+def test_icp_converged_pcl_semantics_max_iter(rng):
+    """PCL hasConverged() parity: a max-iteration exit still reports
+    converged=True (failure_after_max_iter defaults false in PCL), with
+    criterion CRIT_MAX_ITER (reference accept test LTslam.cpp:222)."""
+    from ltm.register.icp import CRIT_MAX_ITER
+
+    src = structured_cloud(rng, 800)
+    tgt = (src + rng.normal(0, 0.05, src.shape)).astype(np.float32)
+    res = icp_point_to_point(
+        jnp.asarray(src), jnp.ones(len(src), bool), jnp.asarray(tgt),
+        jnp.ones(len(tgt), bool), max_iterations=2,
+        transformation_epsilon=1e-30, euclidean_fitness_epsilon=0.0, tile=1024,
+    )
+    assert bool(res.converged)
+    assert int(res.iterations) == 2
+    assert int(res.criterion) == CRIT_MAX_ITER
+
+
+def test_icp_abs_mse_criterion_stops_early(rng):
+    """The euclidean-fitness (absolute MSE change) criterion ends the loop
+    when correspondence MSE plateaus before the transform epsilon fires."""
+    from ltm.register.icp import CRIT_ABS_MSE
+
+    src = structured_cloud(rng, 800)
+    tgt = (src + rng.normal(0, 0.05, src.shape)).astype(np.float32)
+    res = icp_point_to_point(
+        jnp.asarray(src), jnp.ones(len(src), bool), jnp.asarray(tgt),
+        jnp.ones(len(tgt), bool), max_iterations=100,
+        transformation_epsilon=1e-30, euclidean_fitness_epsilon=1e-4, tile=1024,
+    )
+    assert bool(res.converged)
+    assert int(res.iterations) < 100
+    assert int(res.criterion) == CRIT_ABS_MSE

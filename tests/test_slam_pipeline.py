@@ -84,3 +84,26 @@ def test_trajectory_files_written(slam_result):
     central = read_kitti_poses(os.path.join(out, "02_central_aft_intersession_loops.txt"))
     anchor = result.anchors["02"]
     np.testing.assert_allclose(np.einsum("ij,njk->nik", anchor, local), central, atol=1e-5)
+
+
+def test_require_converged_loop_set_parity(bundle, slam_result):
+    """Flipping require_converged (now default ON, mirroring the reference's
+    ``hasConverged() && fitness < thr`` accept test, LTslam.cpp:222) must not
+    change the accepted loop set on the synthetic fixture: with PCL
+    hasConverged() semantics the gate only rejects degenerate pairs."""
+    result, _ = slam_result        # default config: require_converged=True
+    cfg = LTSlamConfig()
+    cfg.max_nodes_per_session = 32
+    cfg.scan_capacity = 6144
+    cfg.icp.history_search_num = 5
+    cfg.icp.source_capacity = 2048
+    cfg.icp.target_capacity = 8192
+    cfg.num_sc_loops_upper_bound = 12
+    cfg.loop_fitness_score_threshold = 0.7
+    cfg.icp.update_trim_distance = 2.0
+    cfg.icp.require_converged = False
+    res_off = LTSlam(cfg).run(bundle["central"].data, bundle["query"].data)
+    assert res_off.num_sc_loops == result.num_sc_loops
+    assert res_off.num_rs_loops == result.num_rs_loops
+    np.testing.assert_allclose(res_off.anchors["02"], result.anchors["02"],
+                               rtol=1e-4, atol=5e-4)
