@@ -142,8 +142,16 @@ def _pcg(hvp, b, minv_blocks, g: GraphData, iters: int, tol: float):
     rz0 = dot(r0, z0)
     b_norm = jnp.sqrt(dot(r0, r0)) + 1e-30
 
-    def body(carry, _):
-        x, r, p, rz, active = carry
+    def cond(carry):
+        _, _, _, _, active, it = carry
+        # a while_loop, not a masked scan: each hvp is a full jvp+vjp over
+        # the factor set, so converged iterations must actually STOP (under
+        # vmap this runs to the slowest lane, which is still far below the
+        # static cap on these block-Jacobi-preconditioned graphs)
+        return active & (it < iters)
+
+    def body(carry):
+        x, r, p, rz, active, it = carry
         Ap = _free(hvp(p), g)
         alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
         x1 = x + alpha * p
@@ -152,11 +160,11 @@ def _pcg(hvp, b, minv_blocks, g: GraphData, iters: int, tol: float):
         rz1 = dot(r1, z1)
         beta = rz1 / jnp.maximum(rz, 1e-30)
         p1 = z1 + beta * p
-        still = active & (jnp.sqrt(dot(r1, r1)) / b_norm > tol)
-        out = tuple(jnp.where(active, a, b_) for a, b_ in zip((x1, r1, p1, rz1), (x, r, p, rz)))
-        return (*out, still), None
+        still = jnp.sqrt(dot(r1, r1)) / b_norm > tol
+        return (x1, r1, p1, rz1, still, it + 1)
 
-    (x, r, *_), _ = jax.lax.scan(body, (x0, r0, p0, rz0, jnp.bool_(True)), None, length=iters)
+    x, r, *_ = jax.lax.while_loop(
+        cond, body, (x0, r0, p0, rz0, jnp.bool_(True), jnp.asarray(0)))
     return x, jnp.sqrt(dot(r, r)) / b_norm
 
 
@@ -198,7 +206,10 @@ def _solve_impl(g: GraphData, max_outer_iterations: int, cg_iterations: int,
         lam1 = jnp.where(accept, lam * lambda_down, lam * lambda_up)
         lam1 = jnp.clip(lam1, 1e-9, 1e6)
         rel_impr = (cost - new_cost) / jnp.maximum(cost, 1e-20)
-        done1 = accept & (rel_impr < 1e-7)
+        # converged: an accepted step stopped improving, or the trust region
+        # collapsed (damping saturated while steps keep being rejected — the
+        # residual floor of noisy odometry; further iterations are no-ops)
+        done1 = (accept & (rel_impr < 1e-7)) | (~accept & (lam >= 1e6))
         cost1 = jnp.where(accept, new_cost, cost)
         return poses1, lam1, it + 1, cost1, done1, res
 
