@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     ap.add_argument("--out", required=True)
     ap.add_argument("--ltslam-config", help="optional YAML for LTSlamConfig")
     ap.add_argument("--removert-config", help="optional YAML for RemovertConfig")
+    ap.add_argument("--mesh-devices", type=int, default=None,
+                    help="shard hot loops over this many local devices "
+                         "(-1 = all, 1 = single; default: all local devices)")
     ap.add_argument("--resume", action="store_true",
                     help="skip stages whose inputs+config are unchanged since a "
                          "previous successful run (content-addressed stage cache)")
@@ -43,6 +46,13 @@ def main(argv=None) -> int:
 
     slam_cfg = load_yaml(args.ltslam_config, "ltslam") if args.ltslam_config else LTSlamConfig()
     rm_cfg = load_yaml(args.removert_config, "removert") if args.removert_config else RemovertConfig()
+    # multi-chip by default: all local devices unless the user pins a count
+    # (the analog of the reference's default-on OpenMP, Session.cpp:408,491)
+    for cfg in (slam_cfg, rm_cfg):
+        if args.mesh_devices is not None:
+            cfg.mesh_devices = args.mesh_devices
+        elif cfg.mesh_devices is None:
+            cfg.mesh_devices = -1
 
     slam_out = os.path.join(args.out, "ltslam")
     rm_out = os.path.join(args.out, "removert")

@@ -26,6 +26,9 @@ def main(argv=None) -> int:
     ap.add_argument("--query-scans")
     ap.add_argument("--query-poses")
     ap.add_argument("--out")
+    ap.add_argument("--mesh-devices", type=int, default=None,
+                    help="shard hot loops over this many local devices "
+                         "(-1 = all, 1 = single; default: all local devices)")
     ap.add_argument("--resume", action="store_true",
                     help="skip the run if inputs+config are unchanged since a "
                          "previous successful one (content-addressed stage cache)")
@@ -50,6 +53,12 @@ def main(argv=None) -> int:
                   "query_sess_scan_dir", "query_sess_pose_path"):
         if not getattr(cfg, field):
             ap.error(f"{field} required (via --config or CLI flags)")
+    # multi-chip by default: all local devices unless the user pins a count
+    # (the analog of the reference's default-on OpenMP, Session.cpp:408,491)
+    if args.mesh_devices is not None:
+        cfg.mesh_devices = args.mesh_devices
+    elif cfg.mesh_devices is None:
+        cfg.mesh_devices = -1
 
     cache = key = None
     if args.resume and cfg.save_pcd_directory:

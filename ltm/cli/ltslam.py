@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     ap.add_argument("--central", help="override central_sess_name")
     ap.add_argument("--query", help="override query_sess_name")
     ap.add_argument("--out", help="override save_directory")
+    ap.add_argument("--mesh-devices", type=int, default=None,
+                    help="shard hot loops over this many local devices "
+                         "(-1 = all, 1 = single; default: all local devices)")
     ap.add_argument("--resume", action="store_true",
                     help="skip the run if inputs+config are unchanged since a "
                          "previous successful one (content-addressed stage cache)")
@@ -49,6 +52,12 @@ def main(argv=None) -> int:
         cfg.save_directory = args.out
     if not cfg.sessions_dir:
         ap.error("sessions_dir required (via --config or --sessions-dir)")
+    # multi-chip by default: all local devices unless the user pins a count
+    # (the analog of the reference's default-on OpenMP, LTslam.cpp:389,534)
+    if args.mesh_devices is not None:
+        cfg.mesh_devices = args.mesh_devices
+    elif cfg.mesh_devices is None:
+        cfg.mesh_devices = -1
 
     cache = key = None
     if args.resume and cfg.save_directory:

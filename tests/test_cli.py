@@ -28,6 +28,59 @@ def test_ltmapper_requires_args(capsys):
         main([])
 
 
+def test_cli_mesh_default_all_devices(tmp_path, monkeypatch):
+    """The CLIs default to mesh_devices=-1 (all local devices) — the analog
+    of the reference's default-on OpenMP (Session.cpp:408,491) — without any
+    flag; an explicit --mesh-devices or YAML value still wins."""
+    import numpy as np
+
+    import ltm.cli.ltremovert as cli
+    from ltm.cli.ltremovert import main
+    from ltm.io.pcd import write_pcd
+    from ltm.removert import Removerter
+
+    built = []
+
+    class RecordingRemoverter(Removerter):
+        def __init__(self, cfg):
+            super().__init__(cfg)
+            built.append(self)
+
+    monkeypatch.setattr(cli, "Removerter", RecordingRemoverter)
+
+    rng = np.random.default_rng(0)
+    for sess in ("c", "q"):
+        scan_dir = tmp_path / sess / "Scans"
+        scan_dir.mkdir(parents=True)
+        lines = []
+        for k in range(4):
+            pts = np.stack([rng.uniform(-20, 20, 300), rng.uniform(-20, 20, 300),
+                            rng.uniform(-2, 3, 300)], 1).astype(np.float32)
+            write_pcd(str(scan_dir / f"{k}.pcd"), pts)
+            T = np.eye(4)
+            T[0, 3] = 2.0 * k
+            lines.append(" ".join(f"{v:.6f}" for v in T[:3].reshape(-1)))
+        (tmp_path / sess / "poses.txt").write_text("\n".join(lines) + "\n")
+
+    rc = main(["--central-scans", str(tmp_path / "c" / "Scans"),
+               "--central-poses", str(tmp_path / "c" / "poses.txt"),
+               "--query-scans", str(tmp_path / "q" / "Scans"),
+               "--query-poses", str(tmp_path / "q" / "poses.txt"),
+               "--out", str(tmp_path / "out")])
+    assert rc == 0
+    assert built[-1].cfg.mesh_devices == -1
+    assert built[-1].mesh is not None and built[-1].mesh.devices.size == 8
+
+    # explicit single-device override suppresses the mesh
+    rc = main(["--central-scans", str(tmp_path / "c" / "Scans"),
+               "--central-poses", str(tmp_path / "c" / "poses.txt"),
+               "--query-scans", str(tmp_path / "q" / "Scans"),
+               "--query-poses", str(tmp_path / "q" / "poses.txt"),
+               "--out", str(tmp_path / "out2"), "--mesh-devices", "1"])
+    assert rc == 0
+    assert built[-1].mesh is None
+
+
 def test_yaml_config_roundtrip(tmp_path):
     from ltm.core.config import LTSlamConfig, RemovertConfig, load_yaml, save_yaml
 
