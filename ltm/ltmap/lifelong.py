@@ -89,15 +89,32 @@ def _updated_scans_as_input(result: RemovertResult, base: RemovertInput,
 
 def lifelong_update(sessions: List[RemovertInput], cfg: Optional[RemovertConfig] = None,
                     save_directory: Optional[str] = None) -> LifelongResult:
-    """Fold sessions[1:] into the live map seeded by sessions[0]."""
-    cfg = cfg or RemovertConfig()
+    """Fold sessions[1:] into the live map seeded by sessions[0].
+
+    Shape stability across rounds: ONE ``Removerter`` serves every round
+    (mesh + per-map caches persist), and when ``map_capacity`` is auto, the
+    first round's bucket (with 2× headroom) is locked in for the remaining
+    rounds — the live map's size drifts as PD accrues/ND retires, and
+    without the lock each drift past a pow-2 boundary would recompile the
+    whole sweep program set mid-chain.  A session that outgrows the locked
+    capacity still escalates with a warning (nothing truncates)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg) if cfg is not None else RemovertConfig()
     fov = (cfg.vfov, cfg.hfov)
     live = sessions[0]
     out = LifelongResult(live_map=np.zeros((0, 3)))
+    rm = Removerter(cfg)
+    lock_capacity = cfg.map_capacity is None
     for i, query in enumerate(sessions[1:], start=2):
         with stage_timer(f"lifelong.round_{i}", log):
             rd = os.path.join(save_directory, f"round_{i:02d}") if save_directory else None
-            res = Removerter(cfg).run(live, query, save_directory=rd)
+            res = rm.run(live, query, save_directory=rd)
+        if lock_capacity:
+            n_max = max(res.central.map_xyz.shape[0], res.query.map_xyz.shape[0])
+            cfg.map_capacity = max(4096, 2 * n_max)  # n_max is already pow-2
+            lock_capacity = False
+            log.info("lifelong: map capacity locked at %d", cfg.map_capacity)
         out.rounds.append(res)
         stats = {
             "round": i,

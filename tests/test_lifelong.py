@@ -9,6 +9,32 @@ from ltm.ltmap.lifelong import lifelong_update
 from ltm.removert import RemovertInput
 
 
+def test_lifelong_three_sessions_fast(tmp_path):
+    """Default-suite lifelong smoke: 3 tiny sessions chain through the live
+    map with the capacity lock engaged (shape stability across rounds)."""
+    bundle = make_n_sessions(n_sessions=3, num_keyframes=4, num_cars=6,
+                             max_scan_points=8000, scan_range=70.0,
+                             seed=23, point_noise=0.01, with_mover=False)
+    inputs = [RemovertInput(scans=list(s.data.scans), poses=s.site_poses)
+              for s in bundle["sessions"]]
+    cfg = RemovertConfig()
+    cfg.scan_capacity = 8192
+    cfg.downsample_voxel_size = 0.1
+    cfg.knn_avg_sqdist_threshold = 0.04
+    cfg.save_map_pcd = False
+    cfg.save_clean_scans_pcd = False
+    cfg.save_high_dyn_maps = False
+    out = lifelong_update(inputs, cfg)
+
+    assert len(out.rounds) == 2
+    assert out.live_map.shape[0] > 500
+    for st in out.round_stats:
+        assert st["pd"] > 0 or st["nd"] > 0, st
+    # capacity lock: the caller's cfg is untouched (lifelong copies it), and
+    # the chain ran both rounds through ONE Removerter without truncation
+    assert cfg.map_capacity is None
+
+
 @pytest.mark.slow
 def test_lifelong_three_sessions(tmp_path):
     bundle = make_n_sessions(n_sessions=3, num_keyframes=8, num_cars=8,
