@@ -105,6 +105,11 @@ def main() -> None:
     # program set, and the CLI persists the XLA compilation cache.
     pipeline_kf_per_s = _pipeline_bench()
 
+    # ---- LT-SLAM flagship metrics (the other driver): keyframes/s of the
+    # full multi-session pipeline + ATE RMSE vs synthetic ground truth on a
+    # reference-shaped 2-session run (LTslam::run, LTslam.cpp:79-98)
+    slam_kf_per_s, ate_rmse = _slam_bench()
+
     print(json.dumps({
         "metric": "removert_visibility_keyframes_per_s_5M_map",
         "value": round(kf_per_s, 2),
@@ -112,6 +117,8 @@ def main() -> None:
         "vs_baseline": round(kf_per_s / 10.0, 2),
         "pipeline_keyframes_per_s": round(pipeline_kf_per_s, 2),
         "pipeline_vs_baseline": round(pipeline_kf_per_s / 10.0, 2),
+        "slam_keyframes_per_s": round(slam_kf_per_s, 2),
+        "ate_rmse_m": round(ate_rmse, 4),
     }))
 
 
@@ -143,6 +150,44 @@ def _pipeline_bench() -> float:
         total_kf = result.central.num_keyframes + result.query.num_keyframes
         best = max(best, total_kf / dt)
     return best
+
+
+def _slam_bench() -> tuple:
+    """(warm keyframes/s, ATE RMSE m) of the FULL LT-SLAM driver on a
+    reference-shaped synthetic two-session survey (~1000 pose-graph nodes,
+    SC retrieval over all pairs, batched ICP verification, LM solves)."""
+    import time
+
+    from ltm.core.config import LTSlamConfig
+    from ltm.io.synthetic import make_two_sessions
+    from ltm.slam import LTSlam
+
+    n_kf = 500  # 2 sessions -> ~1000 nodes (VERDICT r2 #3 / params.yaml:14)
+    # small odometry noise: session-internal drift is an INPUT property (the
+    # reference consumes externally optimized single-session graphs, SURVEY
+    # §0); at the generator's default 0.004 rad/step the yaw random walk
+    # alone bows a 500-node loop by ~10 m, swamping what LT-SLAM contributes.
+    # 5e-4 keeps the g2o inputs realistic while ate_rmse_m measures the
+    # alignment pipeline (SC retrieval -> ICP -> anchored optimization).
+    bundle = make_two_sessions(seed=11, num_keyframes=n_kf, num_cars=12,
+                               num_changed=4, max_scan_points=8000,
+                               scan_range=70.0, odom_noise=5e-4)
+    cfg = LTSlamConfig()
+    best_dt = float("inf")
+    result = None
+    for _ in range(2):
+        slam = LTSlam(cfg)
+        t0 = time.perf_counter()
+        result = slam.run(bundle["central"].data, bundle["query"].data,
+                          save_directory=None)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    errs = []
+    for name, syn in (("01", bundle["central"]), ("02", bundle["query"])):
+        est = np.asarray(result.central_poses[name])
+        gt = np.asarray(syn.site_poses)
+        errs.append(np.linalg.norm(est[:, :3, 3] - gt[:, :3, 3], axis=1))
+    ate_rmse = float(np.sqrt(np.mean(np.concatenate(errs) ** 2)))
+    return 2 * n_kf / best_dt, ate_rmse
 
 
 if __name__ == "__main__":
