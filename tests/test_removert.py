@@ -116,11 +116,14 @@ def test_nd_pd_detection_iou(bundle, result):
     det_pd = np.asarray(res.masks["pd"])
     iou_pd = (gt_pd & det_pd).sum() / max((gt_pd | det_pd).sum(), 1)
 
-    # full-pipeline bar (measured 0.83-0.85): bounded by the reference's own
-    # design — kNN-diff queries the OTHER session's post-HD static map, so
-    # false HD removals punch holes that read as change (see
-    # test_change_detection_core_iou for the decoupled ≥0.95 core bar and
-    # PARITY.md "measured parity" for the decomposition)
+    # full-pipeline bar (measured 0.83-0.85): structural, not tunable — the
+    # round-3 FP decomposition (PARITY.md "Root cause of the e2e IoU
+    # ceiling") measures 37% GT-band ambiguity, 29% holes from the OTHER
+    # session's HD removals (the reference's own coupling,
+    # Session.cpp:393-427), 25% scan-coverage holes; combining with
+    # use_self_removert was measured to LOWER IoU (0.77-0.81), falsifying
+    # the round-2 remedy.  The decoupled detector core meets ≥0.95
+    # (test_change_detection_core_iou).
     assert iou_nd > 0.8, iou_nd
     assert iou_pd > 0.8, iou_pd
 
