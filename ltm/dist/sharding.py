@@ -25,7 +25,7 @@ from jax import shard_map
 
 from ltm.dist.mesh import KF_AXIS, pad_to_multiple
 from ltm.kernels.knn import knn_avg_sqdist
-from ltm.kernels.projection import discrepancy_mask
+from ltm.kernels.projection import apply_pose, discrepancy_mask
 from ltm.retrieval.scancontext import sc_distance_matrix
 
 __all__ = ["sweep_discrepancy_sharded", "sweep_discrepancy_map_sharded", "knn_avg_sqdist_sharded", "sc_distance_sharded", "icp_batch_sharded"]
@@ -48,7 +48,7 @@ def sweep_discrepancy_sharded(
     def local(mx, mm, sx, sm, pi):
         def body(carry, inp):
             s_xyz, s_mask, Tinv = inp
-            loc = mx @ Tinv[:3, :3].T + Tinv[:3, 3]
+            loc = apply_pose(mx, Tinv)
             dyn = discrepancy_mask(loc, mm, s_xyz, s_mask, fov, shape, diff_threshold, reverse)
             return carry | dyn, None
 
@@ -91,7 +91,7 @@ def sweep_discrepancy_map_sharded(
     def local(mx_, mm_, sx, sm, pi):
         def body(carry, inp):
             s_xyz, s_mask, Tinv = inp
-            local_pts = mx_ @ Tinv[:3, :3].T + Tinv[:3, 3]
+            local_pts = apply_pose(mx_, Tinv)
             scan_img = range_image(s_xyz, s_mask, fov, shape)
             pix, rng, part = _project_min(local_pts, mm_, fov, shape)
             map_img = jax.lax.pmin(part, KF_AXIS)          # global per-pixel min

@@ -88,7 +88,7 @@ def _block_jacobi(poses: jax.Array, g: GraphData, wb, wa, lam, axis_name=None) -
         jnp.zeros((g.prior_idx.shape[0], 6), poses.dtype), g.prior_meas, poses[g.prior_idx], g.prior_inv_sigma
     )
     Jp = Jp * g.prior_valid[:, None, None]
-    blocks = blocks.at[g.prior_idx].add(jnp.einsum("fij,fik->fjk", Jp, Jp))
+    blocks = blocks.at[g.prior_idx].add(jnp.einsum("fij,fik->fjk", Jp, Jp, precision=jax.lax.Precision.HIGHEST))
 
     # betweens
     def r_bet(di, dj, meas, xi, xj, isg):
@@ -100,8 +100,8 @@ def _block_jacobi(poses: jax.Array, g: GraphData, wb, wa, lam, axis_name=None) -
     wfac = (wb * g.bet_valid)[:, None, None]
     Jbi = Jbi * wfac
     Jbj = Jbj * wfac
-    blocks = blocks.at[g.bet_i].add(jnp.einsum("fij,fik->fjk", Jbi, Jbi))
-    blocks = blocks.at[g.bet_j].add(jnp.einsum("fij,fik->fjk", Jbj, Jbj))
+    blocks = blocks.at[g.bet_i].add(jnp.einsum("fij,fik->fjk", Jbi, Jbi, precision=jax.lax.Precision.HIGHEST))
+    blocks = blocks.at[g.bet_j].add(jnp.einsum("fij,fik->fjk", Jbj, Jbj, precision=jax.lax.Precision.HIGHEST))
 
     # anchored betweens
     def r_anc(di, dj, dai, daj, meas, xi, xj, xai, xaj, isg):
@@ -116,7 +116,7 @@ def _block_jacobi(poses: jax.Array, g: GraphData, wb, wa, lam, axis_name=None) -
     for argnum, idx in ((0, g.anc_i), (1, g.anc_j), (2, g.anc_ai), (3, g.anc_aj)):
         J = jax.vmap(jax.jacfwd(r_anc, argnums=argnum))(zeros_a, zeros_a, zeros_a, zeros_a, *args)
         J = J * wafac
-        blocks = blocks.at[idx].add(jnp.einsum("fij,fik->fjk", J, J))
+        blocks = blocks.at[idx].add(jnp.einsum("fij,fik->fjk", J, J, precision=jax.lax.Precision.HIGHEST))
 
     blocks = _maybe_psum(blocks, axis_name)
     eye = jnp.eye(6, dtype=poses.dtype)
@@ -130,7 +130,7 @@ def _pcg(hvp, b, minv_blocks, g: GraphData, iters: int, tol: float):
     """Preconditioned CG on (V, 6) tensors; fixed vars masked out."""
 
     def apply_m(r):
-        return _free(jnp.einsum("vij,vj->vi", minv_blocks, r), g)
+        return _free(jnp.einsum("vij,vj->vi", minv_blocks, r, precision=jax.lax.Precision.HIGHEST), g)
 
     def dot(a, b_):
         return jnp.sum(a * b_)

@@ -43,12 +43,12 @@ def _all_winners_packed(comb, upd, pose_inv, fov, proj_shape):
     import jax
     import jax.numpy as jnp
 
-    from ltm.kernels.projection import winner_mask
+    from ltm.kernels.projection import apply_pose, winner_mask
 
     @partial(jax.jit, static_argnames=("fov", "proj_shape"))
     def run(comb, upd, pose_inv, fov, proj_shape):
         def body(_, Tinv):
-            local = comb @ Tinv[:3, :3].T + Tinv[:3, 3]
+            local = apply_pose(comb, Tinv)
             win, *_ = winner_mask(local, upd, fov, proj_shape)
             return None, jnp.packbits(win)
 

@@ -52,7 +52,10 @@ def _umeyama_rigid(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
     cd = jnp.sum(dst * ws, axis=0) / wsum
     src_c = src - cs
     dst_c = dst - cd
-    H = (src_c * ws).T @ dst_c          # (3, 3)
+    # HIGHEST: the default TPU f32 matmul truncates to bf16 — a 0.4%
+    # error on the cross-covariance skews the SVD rotation estimate
+    H = jnp.matmul((src_c * ws).T, dst_c,
+                   precision=jax.lax.Precision.HIGHEST)  # (3, 3)
     U, _, Vt = jnp.linalg.svd(H)
     d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], H.dtype)).at[2, 2].set(d)

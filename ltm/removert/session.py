@@ -134,7 +134,7 @@ def _merge_global(scans_xyz, scans_mask, poses, voxel, capacity):
     ``Session.cpp:186-202``, ``utility.cpp:204-219``)."""
     R = poses[:, :3, :3]
     t = poses[:, :3, 3]
-    moved = jnp.einsum("kij,ksj->ksi", R, scans_xyz) + t[:, None, :]
+    moved = jnp.einsum("kij,ksj->ksi", R, scans_xyz, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     flat = moved.reshape(-1, 3)
     fmask = scans_mask.reshape(-1)
     return voxel_downsample_centroid(flat, fmask, voxel, capacity)

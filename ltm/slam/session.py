@@ -130,7 +130,7 @@ def assemble_submap(
     msk = scans_mask[neighbor_idx] & neighbor_valid[:, None]
     R = rel_poses[:, :3, :3]
     t = rel_poses[:, :3, 3]
-    moved = jnp.einsum("kij,ksj->ksi", R, pts) + t[:, None, :]
+    moved = jnp.einsum("kij,ksj->ksi", R, pts, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     flat_xyz = moved.reshape(-1, 3)
     flat_msk = msk.reshape(-1)
     out_xyz, out_mask, _ = voxel_downsample_representative(flat_xyz, flat_msk, voxel, out_capacity)
