@@ -192,11 +192,10 @@ class RemovertConfig:
     # (exactness never depends on the tuning constants).  Engages when the
     # padded target map is at least chunk_knn_min_targets.
     use_chunk_knn: bool = True
-    # fused Pallas gather+score kernel for the chunk path (TPU only;
-    # ltm/kernels/pallas_chunk_knn.py).  Opt-in: measured ~5% behind the
-    # XLA chunk kernel at the default 128-point block layout (see
-    # Removerter._use_pallas_chunk) while remaining bit-identical.
-    use_pallas_chunk_knn: Optional[bool] = None
+    # (a fused Pallas gather+score variant of the chunk kernel was measured
+    # bit-identical but never faster than the XLA kernel at any block layout
+    # — 128: parity, 256: 2x slower, 512: both layouts ~2x off the best —
+    # and was removed in round 3; see PERF.md "measured dead ends")
     chunk_knn_min_targets: int = 1 << 17
     chunk_knn_chunk: int = 256
     chunk_knn_k_blocks: int = 384
@@ -243,6 +242,21 @@ class RemovertConfig:
     block_capacity: int = 256
     k_blocks: Optional[int] = None
     block_max_range: Optional[float] = None
+
+    # occlusion-aware block culling (ltm.kernels.occlusion): on top of the
+    # range-ball bounds, skip blocks whose minimum possible range cannot beat
+    # the per-pixel image maxima over their angular footprint — provably
+    # exact for every sweep (see the occlusion module docstring; equality
+    # with the unculled pipeline is regression-tested).  The winner
+    # projections run two-phase: blocks within ``occlusion_near_range``
+    # (None = auto: the session's forward sweep bound) build a provisional
+    # image that culls the far blocks.  OFF by default: on open geometry
+    # (the corridor benchmark) sightlines reach the map's far end, footprint
+    # tests keep ≥85% of far blocks, and the cull passes cost more than they
+    # save (measured +2 s on the 2x48kf e2e run); enable for enclosed /
+    # urban maps where far blocks are actually occluded.
+    use_occlusion_culling: bool = False
+    occlusion_near_range: Optional[float] = None
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from ltm.kernels.blocks import (
 )
 from ltm.kernels.projection import (
     NO_POINT,
+    apply_pose,
     discrepancy_vs_image,
     packed_winner_image,
     projected_scan_images,
@@ -81,7 +82,7 @@ def _pad_kf_axis(arr: jax.Array, multiple: int, fill=0):
 
 
 def _bm_specs(sharded: bool = False):
-    return BlockMap(P(), P(), P(), P(), P())
+    return BlockMap(P(), P(), P(), P(), P(), P(), P())
 
 
 def block_sweep_discrepancy_sharded(
@@ -222,7 +223,7 @@ def sweep_visibility_sharded(mesh: Mesh, map_xyz, map_mask, pose_inv, fov, shape
     def local(mx, mm, pi_, kv):
         def body(carry, inp):
             Tinv, v = inp
-            loc = mx @ Tinv[:3, :3].T + Tinv[:3, 3]
+            loc = apply_pose(mx, Tinv)
             win, *_ = winner_mask(loc, mm, fov, shape)
             return carry | (win & v), None
 
@@ -271,7 +272,7 @@ def fused_visibility_images_sharded(
     def local(sx, sm, pi_, kv):
         def body(carry, inp):
             Tinv, v = inp
-            loc = sx @ Tinv[:3, :3].T + Tinv[:3, 3]
+            loc = apply_pose(sx, Tinv)
             win, img = packed_winner_image(loc, sm, fov, proj_shape, shape, scale)
             return carry | (win & v), jnp.where(v, img, NO_POINT)
 
@@ -302,7 +303,7 @@ def sweep_discrepancy_vs_images_sharded(
     def local(tx, tm, im, pi_, kv):
         def body(carry, inp):
             img, Tinv, v = inp
-            loc = tx @ Tinv[:3, :3].T + Tinv[:3, 3]
+            loc = apply_pose(tx, Tinv)
             dyn = discrepancy_vs_image(loc, tm, img, fov, shape, diff_threshold, reverse)
             return carry | (dyn & v), None
 

@@ -36,12 +36,14 @@ import jax.numpy as jnp
 
 import numpy as np
 
-from ltm.kernels.projection import discrepancy_mask, winner_mask
+from ltm.kernels.projection import apply_pose, discrepancy_mask, winner_mask
 
 __all__ = ["BlockMap", "build_block_map", "build_block_map_with_slots",
            "required_k_blocks",
            "block_sweep_discrepancy", "block_sweep_visibility",
-           "block_fused_visibility_images"]
+           "block_fused_visibility_images",
+           "block_sweep_discrepancy_vs_images_presel",
+           "block_fused_phase_a", "block_fused_phase_b"]
 
 
 class BlockMap(NamedTuple):
@@ -52,6 +54,9 @@ class BlockMap(NamedTuple):
     centers: jax.Array      # (n_blocks, 3) — mean of member points
     radius: jax.Array       # (n_blocks,) — max member distance from center
     block_valid: jax.Array  # (n_blocks,)
+    bmin: jax.Array         # (n_blocks, 3) — member AABB (occlusion culling:
+    bmax: jax.Array         # LiDAR surface blocks are flat, so the AABB's
+                            # angular footprint is far tighter than the ball's)
 
     @property
     def num_blocks(self) -> int:
@@ -76,11 +81,11 @@ def build_block_map_with_slots(
     n_blocks: int,
     block_capacity: int,
 ):
-    """Group points into coarse-voxel blocks (one-time sort, amortized over
-    every keyframe sweep).  Cells with more points than fit in the remaining
-    block budget spill into extra blocks.  Returns (BlockMap, overflow_count,
-    slots) — overflow_count > 0 means capacity was insufficient and points
-    were dropped (callers should size n_blocks * block_capacity >= N); slots
+    """Group points into spatially compact, fully packed blocks (one-time
+    sort by coarse-voxel + sub-cell Morton keys, amortized over every
+    keyframe sweep).  Returns (BlockMap, overflow_count, slots) —
+    overflow_count > 0 means capacity was insufficient and points were
+    dropped (callers should size n_blocks * block_capacity >= N); slots
     maps each input index to its flat position in the blocked layout.
     """
     n = xyz.shape[0]
@@ -112,25 +117,21 @@ def build_block_map_with_slots(
               | jnp.minimum(cr[:, 1], (1 << 15) - 1))
     key_lo = (cr[:, 2] << 9) | morton
     order = jnp.lexsort((key_lo, key_hi))
-    coords = jnp.where(mask[:, None], coords, jnp.int32(2**30))
-    cs = coords[order]
     ms = mask[order]
     xs = xyz[order]
 
-    new_cell = jnp.any(cs != jnp.roll(cs, 1, axis=0), axis=-1).at[0].set(True) & ms
-    # position within cell
-    idx = jnp.arange(n)
-    # lax.cummax, NOT jnp.maximum.accumulate: the ufunc accumulate lowers to
-    # an O(n·window) reduce_window on TPU — measured 2.9 s/1M vs ~ms for the
-    # associative-scan cummax; it was the whole session-prep bottleneck
-    cell_start = jax.lax.cummax(jnp.where(new_cell, idx, 0))
-    within = idx - cell_start
-    # global slot: points stream into blocks of block_capacity in sorted order,
-    # starting a fresh block whenever a new cell begins
-    opens_block = (new_cell | (within % block_capacity == 0)) & ms
-    block_id = jnp.cumsum(opens_block.astype(jnp.int32)) - 1
-    slot = within % block_capacity
-    # (slot restarts at cell starts because within restarts)
+    # dense packing: valid points stream into fully packed capacity-sized
+    # runs of the Morton-sorted order.  Blocks MAY span cell boundaries —
+    # every exactness argument downstream (required_k_blocks, per-sweep
+    # range bounds, chunk-kNN candidate selection, occlusion footprints)
+    # uses only the blocks' measured centers/radius/AABB, never the cell
+    # grid — and 100% occupancy cuts every block sweep's working set by the
+    # old cell-aligned layout's padding share (~26% measured on the e2e
+    # corridor maps).  Cell+sub-cell Morton keys still provide the spatial
+    # locality that keeps bounding volumes tight.
+    rank = jnp.cumsum(ms.astype(jnp.int32)) - ms.astype(jnp.int32)
+    block_id = rank // block_capacity
+    slot = rank % block_capacity
 
     valid = ms & (block_id < n_blocks)
     overflow = jnp.sum((ms & ~(block_id < n_blocks)).astype(jnp.int32))
@@ -147,7 +148,13 @@ def build_block_map_with_slots(
     centers = jnp.sum(jnp.where(bmask[..., None], bxyz, 0.0), axis=1) / jnp.maximum(cnt, 1)[:, None]
     d = jnp.linalg.norm(bxyz - centers[:, None, :], axis=-1)
     radius = jnp.max(jnp.where(bmask, d, 0.0), axis=1)
-    bm = BlockMap(bxyz, bmask, centers, radius, cnt > 0)
+    big = jnp.asarray(3e38, bxyz.dtype)
+    bmin = jnp.min(jnp.where(bmask[..., None], bxyz, big), axis=1)
+    bmax = jnp.max(jnp.where(bmask[..., None], bxyz, -big), axis=1)
+    empty = ~(cnt > 0)
+    bmin = jnp.where(empty[:, None], 0.0, bmin)
+    bmax = jnp.where(empty[:, None], 0.0, bmax)
+    bm = BlockMap(bxyz, bmask, centers, radius, cnt > 0, bmin, bmax)
     # original-index -> flat block slot (n_blocks*cap sentinel for dropped /
     # invalid points): lets callers rebuild ONE block layout per map and
     # restrict the target subset per query via a boolean scatter (the
@@ -222,7 +229,7 @@ def block_sweep_discrepancy(
         sel, sel_valid = _select_blocks(bm, T[:3, 3], max_range, k_blocks)
         work_xyz = bm.xyz[sel].reshape(-1, 3)                       # block-granular gather
         work_mask = (bm.mask[sel] & sel_valid[:, None]).reshape(-1)
-        local = work_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        local = apply_pose(work_xyz, Tinv)
         dyn = discrepancy_mask(local, work_mask, scan_xyz, scan_mask,
                                fov, shape, diff_threshold, reverse)
         dyn_blocks = dyn.reshape(k_blocks, bm.block_capacity)
@@ -263,8 +270,8 @@ def block_sweep_discrepancy_projected(
         t_mask = (target_bm.mask[tsel] & t_extra[tsel] & tval[:, None]).reshape(-1)
         s_xyz = source_bm.xyz[ssel].reshape(-1, 3)
         s_mask = (source_bm.mask[ssel] & s_extra[ssel] & sval[:, None]).reshape(-1)
-        t_local = t_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
-        s_local = s_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        t_local = apply_pose(t_xyz, Tinv)
+        s_local = apply_pose(s_xyz, Tinv)
         swin, *_ = winner_mask(s_local, s_mask, fov, proj_shape)
         dyn = discrepancy_mask(t_local, t_mask, s_local, swin, fov, shape, diff_threshold, reverse)
         carry = carry.at[tsel].max(dyn.reshape(k_blocks, target_bm.block_capacity))
@@ -300,7 +307,7 @@ def block_projected_scan_images(
         ssel, sval = _select_blocks(source_bm, T[:3, 3], max_range, k_blocks)
         s_xyz = source_bm.xyz[ssel].reshape(-1, 3)
         s_mask = (source_bm.mask[ssel] & s_extra[ssel] & sval[:, None]).reshape(-1)
-        s_local = s_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        s_local = apply_pose(s_xyz, Tinv)
         swin, *_ = winner_mask(s_local, s_mask, fov, proj_shape)
         return None, range_image(s_local, swin, fov, shape)
 
@@ -341,7 +348,7 @@ def block_sweep_discrepancy_vs_images(
         tsel, tval = _select_blocks(sel_bm, T[:3, 3], max_range, k_blocks)
         t_xyz = target_bm.xyz[tsel].reshape(-1, 3)
         t_mask = (target_bm.mask[tsel] & t_extra[tsel] & tval[:, None]).reshape(-1)
-        t_local = t_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        t_local = apply_pose(t_xyz, Tinv)
         dyn = discrepancy_vs_image(
             t_local, t_mask, img, fov, shape, diff_threshold, reverse
         )
@@ -351,6 +358,168 @@ def block_sweep_discrepancy_vs_images(
     init = jnp.zeros((target_bm.num_blocks, target_bm.block_capacity), bool)
     out, _ = jax.lax.scan(body, init, (pose_inv, poses, scan_imgs))
     return out.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "reverse"))
+def block_sweep_discrepancy_vs_images_presel(
+    target_bm: BlockMap,
+    target_extra: jax.Array,     # flat mask restricting the target (delta) set
+    scan_imgs: jax.Array,        # (K, nrow*ncol) source range images
+    pose_inv: jax.Array,         # (K, 4, 4)
+    sel_idx: jax.Array,          # (K, k_sel) int32 — per-keyframe block lists
+    sel_valid: jax.Array,        # (K, k_sel)
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],
+    diff_threshold: float = 0.1,
+    reverse: bool = False,
+) -> jax.Array:
+    """``block_sweep_discrepancy_vs_images`` with the per-keyframe block
+    selection precomputed OUTSIDE (occlusion culling, ``ltm.kernels.occlusion``)
+    instead of the in-body range-ball top-k.  Exactness is the caller's
+    contract: every block that could flag a point for keyframe k must appear
+    in ``sel_idx[k]`` (see the occlusion module's slack arguments).
+
+    Also subsumes the forward HD sweep: pass ``scan_imgs`` built from the
+    actual scans (one vmapped ``range_image``) instead of projected-static
+    winner images."""
+    from ltm.kernels.projection import discrepancy_vs_image
+
+    t_extra = target_extra.reshape(target_bm.num_blocks, target_bm.block_capacity)
+
+    def body(carry, inp):
+        Tinv, img, tsel, tval = inp
+        t_xyz = target_bm.xyz[tsel].reshape(-1, 3)
+        t_mask = (target_bm.mask[tsel] & t_extra[tsel] & tval[:, None]).reshape(-1)
+        t_local = apply_pose(t_xyz, Tinv)
+        dyn = discrepancy_vs_image(
+            t_local, t_mask, img, fov, shape, diff_threshold, reverse
+        )
+        carry = carry.at[tsel].max(dyn.reshape(-1, target_bm.block_capacity))
+        return carry, None
+
+    init = jnp.zeros((target_bm.num_blocks, target_bm.block_capacity), bool)
+    out, _ = jax.lax.scan(body, init, (pose_inv, scan_imgs, sel_idx, sel_valid))
+    return out.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "proj_shape", "k_near", "scale"))
+def block_fused_phase_a(
+    source_bm: BlockMap,
+    source_extra: jax.Array,     # flat mask restricting the source (static) set
+    pose_inv: jax.Array,         # (K, 4, 4)
+    poses: jax.Array,            # (K, 4, 4)
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],      # filter-resolution image (packed Δ bits)
+    proj_shape: Tuple[int, int],
+    k_near: int,
+    r_near: float,
+    scale: float,
+):
+    """Phase A of the occlusion-culled fused winner pass: per keyframe,
+    scatter only the blocks within ``r_near`` into the packed proj-resolution
+    image, then test every remaining block's footprint against the
+    provisional image (hierarchical max pyramid).  Returns
+    ``(sel_a (K,k_near), sel_a_valid, packed_imgs (K,n_pix_p), survive
+    (K,n_blocks))`` — survivors are far blocks that might still win a pixel
+    and must be scattered by phase B; culled blocks provably cannot win nor
+    displace any pixel minimum (``ltm.kernels.occlusion`` docstring).
+    ``k_near`` must be ``required_k_blocks(bm, origins, r_near)``-sized so no
+    in-range block is truncated."""
+    from ltm.kernels.occlusion import (
+        block_rect_and_rmin,
+        build_range_pyramid,
+        footprint_max,
+    )
+    from ltm.kernels.projection import _PACKED_SENTINEL, _pack_points
+
+    s_extra = source_extra.reshape(source_bm.num_blocks, source_bm.block_capacity)
+    occupied = source_bm.block_valid & jnp.any(source_bm.mask & s_extra, axis=1)
+    n_pix_p = proj_shape[0] * proj_shape[1]
+
+    def body(_, inp):
+        Tinv, T = inp
+        origin = T[:3, 3]
+        sel, sel_valid = _select_blocks(source_bm, origin, r_near, k_near)
+        work_xyz = source_bm.xyz[sel].reshape(-1, 3)
+        work_mask = (source_bm.mask[sel] & s_extra[sel] & sel_valid[:, None]).reshape(-1)
+        local = apply_pose(work_xyz, Tinv)
+        packed, pix_p = _pack_points(local, work_mask, fov, proj_shape, shape, scale)
+        img_p = jnp.full((n_pix_p,), _PACKED_SENTINEL, jnp.int32)
+        img_p = img_p.at[pix_p].min(packed, mode="drop")
+
+        # provisional effective-range image: empty pixels are +inf (any
+        # point would win there), else the winner's decoded range
+        eff = jnp.where(img_p == _PACKED_SENTINEL, jnp.inf,
+                        (img_p // 16).astype(jnp.float32) / scale)
+        pyr = build_range_pyramid(eff, proj_shape)
+        r0, r1, c0, width, r_min = block_rect_and_rmin(
+            source_bm.bmin, source_bm.bmax, Tinv, fov, proj_shape)
+        fmax = footprint_max(pyr, r0, r1, c0, width, proj_shape)
+        near = (jnp.linalg.norm(source_bm.centers - origin, axis=-1)
+                - source_bm.radius) <= r_near
+        # 2/scale guards the fixed-point rounding of the decoded pixel range
+        survive = occupied & ~near & (r_min <= fmax + 2.0 / scale)
+        return None, (sel, sel_valid, img_p, survive)
+
+    _, (sel_a, sel_a_valid, packed_imgs, survive) = jax.lax.scan(
+        body, None, (pose_inv, poses))
+    return sel_a, sel_a_valid, packed_imgs, survive
+
+
+@partial(jax.jit, static_argnames=("fov", "shape", "proj_shape", "scale"))
+def block_fused_phase_b(
+    source_bm: BlockMap,
+    source_extra: jax.Array,
+    pose_inv: jax.Array,         # (K, 4, 4)
+    packed_imgs: jax.Array,      # (K, n_pix_p) from phase A
+    sel_b: jax.Array,            # (K, k_b) surviving far blocks
+    sel_b_valid: jax.Array,
+    sel_ab: jax.Array,           # (K, k_near + k_b) all processed blocks
+    sel_ab_valid: jax.Array,
+    fov: Tuple[float, float],
+    shape: Tuple[int, int],      # filter-resolution image
+    proj_shape: Tuple[int, int],
+    scale: float,
+):
+    """Phase B: scatter the surviving far blocks into the provisional packed
+    images, then winner-test ALL processed blocks (near + survivors) against
+    the FINAL image and decode the filter-resolution winner images.  Returns
+    ``(win_union_flat, (K, nrow*ncol) images)`` — bit-identical to the
+    single-pass ``block_fused_visibility_images`` over the full range bound
+    (culled blocks cannot win; phase-A win bits would be provisional, so the
+    winner test runs here, after the image is final)."""
+    from ltm.kernels.projection import (
+        _PACKED_SENTINEL,
+        _decode_winner_image,
+        _pack_points,
+    )
+
+    s_extra = source_extra.reshape(source_bm.num_blocks, source_bm.block_capacity)
+
+    def body(carry, inp):
+        Tinv, img_p, bsel, bval, absel, abval = inp
+        # far survivors: one more packed scatter-min into the provisional image
+        b_xyz = source_bm.xyz[bsel].reshape(-1, 3)
+        b_mask = (source_bm.mask[bsel] & s_extra[bsel] & bval[:, None]).reshape(-1)
+        b_local = apply_pose(b_xyz, Tinv)
+        b_packed, b_pix = _pack_points(b_local, b_mask, fov, proj_shape, shape, scale)
+        img_p = img_p.at[b_pix].min(b_packed, mode="drop")
+
+        # winner test of every processed block against the final image
+        a_xyz = source_bm.xyz[absel].reshape(-1, 3)
+        a_mask = (source_bm.mask[absel] & s_extra[absel] & abval[:, None]).reshape(-1)
+        a_local = apply_pose(a_xyz, Tinv)
+        a_packed, a_pix = _pack_points(a_local, a_mask, fov, proj_shape, shape, scale)
+        win = a_mask & (a_packed == img_p[a_pix])
+        carry = carry.at[absel].max(win.reshape(-1, source_bm.block_capacity))
+
+        img_s = _decode_winner_image(img_p, proj_shape, shape, scale)
+        return carry, img_s
+
+    init = jnp.zeros((source_bm.num_blocks, source_bm.block_capacity), bool)
+    out, imgs = jax.lax.scan(
+        body, init, (pose_inv, packed_imgs, sel_b, sel_b_valid, sel_ab, sel_ab_valid))
+    return out.reshape(-1), imgs
 
 
 @partial(jax.jit, static_argnames=("fov", "shape", "proj_shape", "k_blocks", "scale"))
@@ -382,7 +551,7 @@ def block_fused_visibility_images(
         sel, sel_valid = _select_blocks(source_bm, T[:3, 3], max_range, k_blocks)
         work_xyz = source_bm.xyz[sel].reshape(-1, 3)
         work_mask = (source_bm.mask[sel] & s_extra[sel] & sel_valid[:, None]).reshape(-1)
-        local = work_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        local = apply_pose(work_xyz, Tinv)
         win, img = packed_winner_image(local, work_mask, fov, proj_shape, shape, scale)
         carry = carry.at[sel].max(win.reshape(k_blocks, source_bm.block_capacity))
         return carry, img
@@ -411,7 +580,7 @@ def block_sweep_visibility(
         sel, sel_valid = _select_blocks(bm, T[:3, 3], max_range, k_blocks)
         work_xyz = bm.xyz[sel].reshape(-1, 3)
         work_mask = (bm.mask[sel] & emask[sel] & sel_valid[:, None]).reshape(-1)
-        local = work_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        local = apply_pose(work_xyz, Tinv)
         win, *_ = winner_mask(local, work_mask, fov, shape)
         carry = carry.at[sel].max(win.reshape(k_blocks, bm.block_capacity))
         return carry, None

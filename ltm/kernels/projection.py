@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
+    "apply_pose",
     "rimg_shape",
     "spherical_project",
     "range_image",
@@ -44,6 +45,19 @@ __all__ = [
 
 NO_POINT = 10000.0        # kFlagNoPOINT (ltremovert/include/removert/utility.h:93)
 VALID_DIFF_UB = 200.0     # kValidDiffUpperBound (utility.h:94)
+
+
+
+def apply_pose(xyz: jax.Array, Tinv: jax.Array) -> jax.Array:
+    """Global -> lidar-frame point transform at TRUE f32 matmul precision.
+
+    The TPU's default f32 matmul truncates operands to bfloat16 (measured
+    4-7.5 m error at km-scale map coordinates — fatal for 0.1 m visibility
+    thresholds); the (N,3)x(3,3) product is bandwidth-bound, so HIGHEST
+    costs nothing.
+    """
+    return jnp.matmul(xyz, Tinv[:3, :3].T,
+                      precision=jax.lax.Precision.HIGHEST) + Tinv[:3, 3]
 
 
 def rimg_shape(fov: Tuple[float, float], alpha: float) -> Tuple[int, int]:
@@ -121,6 +135,58 @@ def _pix_rowcol(xyz: jax.Array, fov, shape):
     return row, col, rng
 
 
+def _pack_points(xyz_local: jax.Array, mask: jax.Array, fov,
+                 proj_shape: Tuple[int, int], shape: Tuple[int, int],
+                 scale: float):
+    """(packed int32 per point, proj-shape pixel id per point) — the packing
+    half of :func:`packed_winner_image`, split out so multi-phase passes
+    (occlusion-culled winner projection, ``ltm.kernels.blocks``) can continue
+    one scatter-min image across block subsets."""
+    nrow_p, ncol_p = proj_shape
+    nrow_s, ncol_s = shape
+    if nrow_s > nrow_p or ncol_s > ncol_p:
+        raise ValueError(f"shape {shape} must be no finer than proj_shape {proj_shape}")
+    rratio = jnp.float32(nrow_s / nrow_p)
+    cratio = jnp.float32(ncol_s / ncol_p)
+
+    row_p, col_p, rng = _pix_rowcol(xyz_local, fov, proj_shape)
+    row_s, col_s, _ = _pix_rowcol(xyz_local, fov, shape)
+    base_r = jnp.round(rratio * row_p.astype(jnp.float32)).astype(jnp.int32)
+    base_c = jnp.round(cratio * col_p.astype(jnp.float32)).astype(jnp.int32)
+    dr = jnp.clip(row_s - base_r + 1, 0, 2)
+    dc = jnp.clip(col_s - base_c + 1, 0, 2)
+    q = jnp.clip(jnp.round(rng * scale), 0, float(2 ** 27 - 1)).astype(jnp.int32)
+    packed = jnp.where(mask, q * 16 + dr * 4 + dc, _PACKED_SENTINEL)
+    return packed, row_p * ncol_p + col_p
+
+
+def _decode_winner_image(img_p: jax.Array, proj_shape: Tuple[int, int],
+                         shape: Tuple[int, int], scale: float) -> jax.Array:
+    """Dense decode of a packed proj-resolution winner image into the
+    filter-resolution range image (the decode half of
+    :func:`packed_winner_image`)."""
+    nrow_p, ncol_p = proj_shape
+    nrow_s, ncol_s = shape
+    rratio = jnp.float32(nrow_s / nrow_p)
+    cratio = jnp.float32(ncol_s / ncol_p)
+    n_pix_p = nrow_p * ncol_p
+    pidx = jnp.arange(n_pix_p, dtype=jnp.int32)
+    prow = pidx // ncol_p
+    pcol = pidx % ncol_p
+    wbase_r = jnp.round(rratio * prow.astype(jnp.float32)).astype(jnp.int32)
+    wbase_c = jnp.round(cratio * pcol.astype(jnp.float32)).astype(jnp.int32)
+    valid = img_p != _PACKED_SENTINEL
+    wq = img_p // 16
+    wdr = (img_p // 4) % 4
+    wdc = img_p % 4
+    wrow = jnp.clip(wbase_r + wdr - 1, 0, nrow_s - 1)
+    wcol = jnp.clip(wbase_c + wdc - 1, 0, ncol_s - 1)
+    wpix = wrow * ncol_s + wcol
+    wrng = jnp.where(valid, wq.astype(jnp.float32) / scale, jnp.inf)
+    img_s = jnp.full((nrow_s * ncol_s,), NO_POINT, jnp.float32)
+    return img_s.at[wpix].min(wrng, mode="drop")
+
+
 def packed_winner_image(xyz_local: jax.Array, mask: jax.Array, fov,
                         proj_shape: Tuple[int, int], shape: Tuple[int, int],
                         scale: float):
@@ -154,45 +220,12 @@ def packed_winner_image(xyz_local: jax.Array, mask: jax.Array, fov,
     ptidx image (``map2RangeImg``, ``utility.cpp:104,137``), minus its data
     race.  Returns ``(win_mask, img_shape_flat)``.
     """
-    nrow_p, ncol_p = proj_shape
-    nrow_s, ncol_s = shape
-    if nrow_s > nrow_p or ncol_s > ncol_p:
-        raise ValueError(f"shape {shape} must be no finer than proj_shape {proj_shape}")
-    rratio = jnp.float32(nrow_s / nrow_p)
-    cratio = jnp.float32(ncol_s / ncol_p)
-
-    row_p, col_p, rng = _pix_rowcol(xyz_local, fov, proj_shape)
-    row_s, col_s, _ = _pix_rowcol(xyz_local, fov, shape)
-    base_r = jnp.round(rratio * row_p.astype(jnp.float32)).astype(jnp.int32)
-    base_c = jnp.round(cratio * col_p.astype(jnp.float32)).astype(jnp.int32)
-    dr = jnp.clip(row_s - base_r + 1, 0, 2)
-    dc = jnp.clip(col_s - base_c + 1, 0, 2)
-    q = jnp.clip(jnp.round(rng * scale), 0, float(2 ** 27 - 1)).astype(jnp.int32)
-    packed = jnp.where(mask, q * 16 + dr * 4 + dc, _PACKED_SENTINEL)
-
-    pix_p = row_p * ncol_p + col_p
-    n_pix_p = nrow_p * ncol_p
+    packed, pix_p = _pack_points(xyz_local, mask, fov, proj_shape, shape, scale)
+    n_pix_p = proj_shape[0] * proj_shape[1]
     img_p = jnp.full((n_pix_p,), _PACKED_SENTINEL, jnp.int32)
     img_p = img_p.at[pix_p].min(packed, mode="drop")
-
     win = mask & (packed == img_p[pix_p])
-
-    # dense decode over proj pixels -> scatter the winners' ranges at `shape`
-    pidx = jnp.arange(n_pix_p, dtype=jnp.int32)
-    prow = pidx // ncol_p
-    pcol = pidx % ncol_p
-    wbase_r = jnp.round(rratio * prow.astype(jnp.float32)).astype(jnp.int32)
-    wbase_c = jnp.round(cratio * pcol.astype(jnp.float32)).astype(jnp.int32)
-    valid = img_p != _PACKED_SENTINEL
-    wq = img_p // 16
-    wdr = (img_p // 4) % 4
-    wdc = img_p % 4
-    wrow = jnp.clip(wbase_r + wdr - 1, 0, nrow_s - 1)
-    wcol = jnp.clip(wbase_c + wdc - 1, 0, ncol_s - 1)
-    wpix = wrow * ncol_s + wcol
-    wrng = jnp.where(valid, wq.astype(jnp.float32) / scale, jnp.inf)
-    img_s = jnp.full((nrow_s * ncol_s,), NO_POINT, jnp.float32)
-    img_s = img_s.at[wpix].min(wrng, mode="drop")
+    img_s = _decode_winner_image(img_p, proj_shape, shape, scale)
     return win, img_s
 
 
@@ -212,7 +245,7 @@ def fused_visibility_images(
     winner projections; see :func:`packed_winner_image`)."""
 
     def body(carry, Tinv):
-        local = source_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        local = apply_pose(source_xyz, Tinv)
         win, img = packed_winner_image(local, source_mask, fov, proj_shape, shape, scale)
         return carry | win, img
 
@@ -291,7 +324,7 @@ def sweep_discrepancy(
 
     def body(carry, inp):
         scan_xyz, scan_mask, Tinv = inp
-        local = map_xyz_global @ Tinv[:3, :3].T + Tinv[:3, 3]
+        local = apply_pose(map_xyz_global, Tinv)
         dyn = discrepancy_mask(
             local, map_mask, scan_xyz, scan_mask, fov, shape, diff_threshold, reverse
         )
@@ -321,7 +354,7 @@ def projected_scan_images(
     """
 
     def body(_, Tinv):
-        src_local = source_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        src_local = apply_pose(source_xyz, Tinv)
         swin, *_ = winner_mask(src_local, source_mask, fov, proj_shape)
         return None, range_image(src_local, swin, fov, shape)
 
@@ -345,7 +378,7 @@ def sweep_discrepancy_vs_images(
 
     def body(carry, inp):
         img, Tinv = inp
-        tgt_local = target_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        tgt_local = apply_pose(target_xyz, Tinv)
         dyn = discrepancy_vs_image(
             tgt_local, target_mask, img, fov, shape, diff_threshold, reverse
         )
@@ -382,8 +415,8 @@ def sweep_discrepancy_projected(
     """
 
     def body(carry, Tinv):
-        tgt_local = target_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
-        src_local = source_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+        tgt_local = apply_pose(target_xyz, Tinv)
+        src_local = apply_pose(source_xyz, Tinv)
         swin, *_ = winner_mask(src_local, source_mask, fov, proj_shape)
         dyn = discrepancy_mask(
             tgt_local, target_mask, src_local, swin, fov, shape, diff_threshold, reverse
@@ -408,7 +441,7 @@ def sweep_visibility(
     ``parseScansViaProjection``, ``ltremovert/src/Session.cpp:348-360``)."""
 
     def body(carry, Tinv):
-        local = map_xyz_global @ Tinv[:3, :3].T + Tinv[:3, 3]
+        local = apply_pose(map_xyz_global, Tinv)
         win, *_ = winner_mask(local, map_mask, fov, shape)
         return carry | win, None
 

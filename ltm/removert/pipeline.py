@@ -36,6 +36,7 @@ from ltm.kernels.blocks import (
 )
 from ltm.kernels.knn import chunked_knn_avg_sqdist
 from ltm.kernels.projection import (
+    apply_pose,
     fused_visibility_images,
     rimg_shape,
     sweep_discrepancy,
@@ -88,6 +89,11 @@ class Removerter:
         self.cfg = cfg or RemovertConfig()
         # id-keyed (map_array, BlockMap, slots) — see _knn_block_map
         self._kbm_cache: dict = {}
+        # deferred count logs: point-count observability (the reference logs
+        # counts at every stage) WITHOUT mid-pipeline device syncs — an
+        # int(mask.sum()) between dispatches stalls the async queue; counts
+        # are tiny device scalars collected here and fetched once at the end
+        self._log_queue: list = []
         # per-run exact-bound caches (reset by run())
         self._origins = np.zeros((0, 3))
         self._kb_cache: dict = {}
@@ -107,79 +113,107 @@ class Removerter:
                 log.info("removert: sharding hot loops over %d devices",
                          self.mesh.devices.size)
 
+    def _log_counts(self, fmt: str, *vals) -> None:
+        """Queue an INFO log whose %d args are device scalars (flushed by
+        :meth:`_flush_logs` once the pipeline has been dispatched)."""
+        self._log_queue.append((fmt, vals))
+
+    def _flush_logs(self) -> None:
+        for fmt, vals in self._log_queue:
+            log.info(fmt, *(int(v) if hasattr(v, "dtype") else v for v in vals))
+        self._log_queue = []
+
     # ------------------------------------------------------------------
     def run(self, central_inp: RemovertInput, query_inp: RemovertInput,
             save_directory: Optional[str] = None) -> RemovertResult:
         cfg = self.cfg
         fov = (cfg.vfov, cfg.hfov)
+        self._log_queue = []
 
         # ---------------- Step 0: prep -----------------------------------
         with stage_timer("removert.prep", log):
             c_idx = parse_keyframe_indices(len(central_inp.scans), cfg.start_idx, cfg.end_idx, cfg.keyframe_gap)
             # the query ROI needs only the central keyframe POSES (known from
-            # the input), not the built session — so both session builds
-            # (host voxel prep, transfers, device merge + block build) can
-            # overlap: the native voxel grid releases the GIL and device
-            # dispatch is async, so two builds nearly halve the stage
+            # the input), not the built session
             lidar2base = np.asarray(cfg.extrinsic_lidar_to_base, np.float64).reshape(4, 4)
             roi = np.asarray([central_inp.poses[i] @ lidar2base for i in c_idx]).reshape(-1, 4, 4)
             q_idx = parse_keyframes_in_roi(query_inp.poses, roi, cfg.roi_inplace_threshold, cfg.keyframe_gap)
+            # exact block budgets need only the keyframe ORIGINS, and session
+            # poses are exactly input ∘ lidar2base — so every per-sweep bound
+            # is computable BEFORE the sessions are built, which lets the
+            # central session's device stages (HD removal, winner pass) run
+            # while the query session's host prep (GIL-released native voxel
+            # + transfers) proceeds on a pool thread.  Budgets size over the
+            # union of both sessions' origins (ND/PD filters sweep one
+            # session's map from the other's keyframes) — no in-range block
+            # is ever truncated (see _kb/_vis_bound).
+            q_eff = np.asarray([query_inp.poses[i] @ lidar2base for i in q_idx],
+                               np.float32).reshape(-1, 4, 4)
+            self._origins = (np.concatenate([
+                roi.astype(np.float32)[:, :3, 3], q_eff[:, :3, 3]])
+                if (len(c_idx) + len(q_idx)) else np.zeros((0, 3)))
+            self._kb_cache = {}
+            self._vis_cache = {}
+            self._img_cache = {}
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                f_c = ex.submit(RemovertSession.build, central_inp, cfg, "Central", c_idx)
-                f_q = ex.submit(RemovertSession.build, query_inp, cfg, "Query", q_idx)
-                central, query = f_c.result(), f_q.result()
-        log.info("central: %d keyframes, %d map pts | query: %d keyframes, %d map pts",
-                 central.num_keyframes, int(central.map_mask.sum()),
-                 query.num_keyframes, int(query.map_mask.sum()))
-        # exact block budgets: every sweep selects blocks from SOME session's
-        # viewpoints (ND/PD filters sweep one session's map from the other's
-        # keyframes), so block budgets size over the union of both sessions'
-        # origins — no in-range block is ever truncated (see _kb/_vis_bound)
-        self._origins = np.concatenate([
-            np.asarray(s.poses)[: s.num_keyframes, :3, 3] for s in (central, query)
-        ]) if (central.num_keyframes + query.num_keyframes) else np.zeros((0, 3))
-        self._kb_cache = {}
-        self._vis_cache = {}
-        self._img_cache = {}
-        for sess in (central, query):
-            if sess.bm is not None:
-                log.info("%s: block map %d blocks x %d cap, fwd bound %.1f m, "
-                         "vis bound %.1f m", sess.sess_type, sess.bm.num_blocks,
-                         sess.bm.block_capacity, self._fwd_bound(sess),
-                         self._vis_bound(sess))
+            ex = ThreadPoolExecutor(max_workers=1)
+            f_q = ex.submit(RemovertSession.build, query_inp, cfg, "Query", q_idx)
+            central = RemovertSession.build(central_inp, cfg, "Central", c_idx)
+        self._log_counts("central: %d keyframes, %d map pts",
+                         central.num_keyframes, central.map_mask.sum())
 
         # ---------------- Step 1: high-dynamic removal --------------------
+        # central's device stages overlap the query session's host build
+        # (the reference's prep and removal are strictly serial,
+        # Removerter.cpp:1653-1678)
         with stage_timer("removert.high_dynamic", log):
-            for sess in (central, query):
-                self._remove_high_dynamic(sess, fov)
+            self._remove_high_dynamic(central, fov)
         # projected static coverage at the reprojection resolution — fused
         # with the strong-weak filter's source images: the same per-keyframe
         # winner pass over the same static set produces both (one packed
         # scatter-min instead of two winner projections + an image build;
         # see kernels.projection.packed_winner_image)
         with stage_timer("removert.project_static", log):
-            for sess in (central, query):
-                proj_static, imgs = self._project_static_and_images(sess, fov)
-                sess.masks["proj_static"] = proj_static
-                self._img_cache[id(sess)] = imgs
+            proj_static, imgs = self._project_static_and_images(central, fov)
+            central.masks["proj_static"] = proj_static
+            self._img_cache[id(central)] = imgs
+        with stage_timer("removert.prep", log):
+            query = f_q.result()
+            ex.shutdown()
+        self._log_counts("query: %d keyframes, %d map pts",
+                         query.num_keyframes, query.map_mask.sum())
+        for sess in (central, query):
+            if sess.bm is not None:
+                log.info("%s: block map %d blocks x %d cap, fwd bound %.1f m, "
+                         "vis bound %.1f m", sess.sess_type, sess.bm.num_blocks,
+                         sess.bm.block_capacity, self._fwd_bound(sess),
+                         self._vis_bound(sess))
+        with stage_timer("removert.high_dynamic", log):
+            self._remove_high_dynamic(query, fov)
+        with stage_timer("removert.project_static", log):
+            proj_static, imgs = self._project_static_and_images(query, fov)
+            query.masks["proj_static"] = proj_static
+            self._img_cache[id(query)] = imgs
 
         # ---------------- Step 2: low-dynamic change detection ------------
         with stage_timer("removert.knn_diff", log):
-            nd_cand, coexist_c = self._knn_partition(central, query)
-            pd_cand, coexist_q = self._knn_partition(query, central)
-        log.info("ND candidates: %d | PD candidates: %d",
-                 int(nd_cand.sum()), int(pd_cand.sum()))
+            nd_cand, coexist_c, pd_cand, coexist_q = \
+                self._knn_partition_pair(central, query)
+        self._log_counts("ND candidates: %d | PD candidates: %d",
+                         nd_cand.sum(), pd_cand.sum())
 
         with stage_timer("removert.strong_weak", log):
             nd_strong, nd_weak = self._filter_strong(
                 central, nd_cand, query, fov, reverse=True
             )
-            nd_strong, nd_weak = self._propagate_weak_to_strong(central, nd_strong, nd_weak)
+            # PD dispatches before the ND weak→strong propagation (which
+            # must sync on the ND repeats): the two directions' repeat
+            # sweeps then overlap on the device
             pd_strong, pd_weak = self._filter_strong(
                 query, pd_cand, central, fov, reverse=False
             )
+            nd_strong, nd_weak = self._propagate_weak_to_strong(central, nd_strong, nd_weak)
             # reference revertStrongPDMapPointsHavingWeakPDInNear is an empty
             # TODO (Session.cpp:447-450) — intentionally not applied here.
 
@@ -209,6 +243,7 @@ class Removerter:
             "updated_strong": updated_strong,
         }
         result = RemovertResult(central=central, query=query, combined_xyz=comb_xyz, masks=masks)
+        self._flush_logs()
 
         if save_directory:
             with stage_timer("removert.save", log):
@@ -295,6 +330,34 @@ class Removerter:
         shape = rimg_shape(fov, cfg.nd_pd_filter_resolution)
         K = sess.num_keyframes
         scale = self._pack_scale(sess)
+        if sess.bm is not None and self.mesh is None and cfg.use_occlusion_culling:
+            # two-phase occlusion-culled winner pass: near blocks build a
+            # provisional packed image; far blocks whose minimum possible
+            # range exceeds every provisional pixel in their footprint are
+            # provably non-winners and are skipped (kernels/occlusion.py);
+            # survivors get one more scatter and the winner test runs
+            # against the FINAL image — bit-identical to the full pass
+            from ltm.kernels.blocks import block_fused_phase_a, block_fused_phase_b
+            from ltm.kernels.occlusion import compact_survivors
+
+            r_near = cfg.occlusion_near_range or self._fwd_bound(sess)
+            kb_near, r_near_b = self._kb(sess.bm, r_near)
+            sel_a, sel_a_valid, packed_imgs, survive = block_fused_phase_a(
+                sess.bm, sess.masks["static"], sess.poses_inv[:K],
+                sess.poses[:K], fov, shape, proj_shape,
+                k_near=kb_near, r_near=r_near_b, scale=scale,
+            )
+            sel_b, sel_b_valid, k_b = compact_survivors(np.asarray(survive))
+            log.info("%s winner pass: %d near + %d/%d far blocks/keyframe",
+                     sess.sess_type, kb_near, k_b, sess.bm.num_blocks)
+            sel_ab = jnp.concatenate([sel_a, jnp.asarray(sel_b)], axis=1)
+            sel_ab_valid = jnp.concatenate(
+                [sel_a_valid, jnp.asarray(sel_b_valid)], axis=1)
+            return block_fused_phase_b(
+                sess.bm, sess.masks["static"], sess.poses_inv[:K],
+                packed_imgs, jnp.asarray(sel_b), jnp.asarray(sel_b_valid),
+                sel_ab, sel_ab_valid, fov, shape, proj_shape, scale=scale,
+            )
         if sess.bm is not None:
             kb, mr = self._kb(sess.bm, self._vis_bound(sess))
             if self.mesh is not None:
@@ -322,9 +385,62 @@ class Removerter:
             fov, shape, proj_shape, scale=scale,
         )
 
+    def _scan_images(self, sess: RemovertSession, fov, shape):
+        """(K, nrow*ncol) scan range images, cached per (session, shape) —
+        shared by every forward sweep at this resolution (remove + revert
+        iterations re-project the same scans otherwise)."""
+        key = (id(sess), shape)
+        hit = self._img_cache.get(key)
+        if hit is not None:
+            return hit
+        import functools
+
+        from ltm.kernels.projection import range_image
+
+        K = sess.num_keyframes
+        imgs = jax.jit(
+            jax.vmap(functools.partial(range_image, fov=fov, shape=shape))
+        )(sess.scans_xyz[:K], sess.scans_mask[:K])
+        self._img_cache[key] = imgs
+        return imgs
+
     def _sweep(self, sess: RemovertSession, mask, fov, res):
         shape = rimg_shape(fov, res)
         K = sess.num_keyframes  # padded keyframes are masked but not free
+        if sess.bm is not None and self.mesh is None and self.cfg.use_occlusion_culling:
+            # occlusion-culled forward sweep: per-(keyframe, block) footprint
+            # test against the scan images replaces the global range ball —
+            # strictly tighter (the ball bound max_scan_range+thres is the
+            # image-wide maximum of the same test) and exact per
+            # kernels/occlusion.py (slack = −thres for forward diffs)
+            from ltm.kernels.blocks import block_sweep_discrepancy_vs_images_presel
+            from ltm.kernels.occlusion import (
+                compact_survivors,
+                cull_blocks_vs_images,
+                effective_range_image,
+            )
+
+            bm = sess.bm
+            imgs = self._scan_images(sess, fov, shape)
+            key = (id(bm.xyz), shape, "fwd_cull")
+            hit = self._kb_cache.get(key)
+            if hit is None:
+                candidate = bm.block_valid
+                eff = effective_range_image(imgs, -jnp.inf)
+                survive = cull_blocks_vs_images(
+                    bm.bmin, bm.bmax, candidate, sess.poses_inv[:K],
+                    eff, fov, shape, -self.cfg.diff_threshold)
+                sel_idx, sel_valid, k_sel = compact_survivors(np.asarray(survive))
+                hit = (jnp.asarray(sel_idx), jnp.asarray(sel_valid))
+                log.info("occlusion cull (fwd): %d/%d blocks/keyframe",
+                         sel_idx.shape[1], bm.num_blocks)
+                self._kb_cache[key] = hit
+            sel_idx, sel_valid = hit
+            return block_sweep_discrepancy_vs_images_presel(
+                bm._replace(mask=mask.reshape(bm.mask.shape)), mask, imgs,
+                sess.poses_inv[:K], sel_idx, sel_valid, fov, shape,
+                diff_threshold=self.cfg.diff_threshold, reverse=False,
+            )
         if sess.bm is not None:
             bm = sess.bm._replace(mask=mask.reshape(sess.bm.mask.shape))
             kb, mr = self._kb(sess.bm, self._fwd_bound(sess))
@@ -406,8 +522,8 @@ class Removerter:
 
         sess.masks["static"] = cur
         sess.masks["dynamic"] = dynamic
-        log.info("%s HD removal: %d static / %d dynamic",
-                 sess.sess_type, int(cur.sum()), int(dynamic.sum()))
+        self._log_counts("%s HD removal: %d static / %d dynamic",
+                         sess.sess_type, cur.sum(), dynamic.sum())
 
     def _knn_partition(self, sess: RemovertSession, other: RemovertSession):
         """``extractLowDynPointsViaKnnDiff`` against the other session's
@@ -427,6 +543,34 @@ class Removerter:
         diff = eligible & ~close
         return diff, coexist
 
+    def _knn_partition_pair(self, central: RemovertSession, query: RemovertSession):
+        """Both kNN-diff directions with their main chunked kernels dispatched
+        BEFORE either direction's overflow bits are fetched — the fetch is a
+        host sync, and serializing it between the two directions left the
+        device idle for the second kernel's dispatch latency."""
+        cfg = self.cfg
+        elig_c = central.masks["static"] & central.masks["proj_static"]
+        elig_q = query.masks["static"] & query.masks["proj_static"]
+        started = []
+        for sess, other, elig in ((central, query, elig_c), (query, central, elig_q)):
+            st = None
+            if cfg.use_chunk_knn and other.map_xyz.shape[0] >= cfg.chunk_knn_min_targets:
+                st = self._chunk_knn_start(sess.map_xyz, elig, other.map_xyz,
+                                           other.masks["static"],
+                                           target_base=other.map_mask)
+            started.append(st)
+        out = []
+        for (sess, other, elig), st in zip(
+                ((central, query, elig_c), (query, central, elig_q)), started):
+            if st is not None:
+                d = self._chunk_knn_finish(*st)
+            else:
+                d = self._knn_stat(sess.map_xyz, elig, other.map_xyz,
+                                   other.masks["static"], target_base=other.map_mask)
+            close = d < cfg.knn_avg_sqdist_threshold
+            out.extend([elig & ~close, elig & close])
+        return tuple(out)
+
     def _filter_strong(self, sess: RemovertSession, cand: jax.Array,
                        source: RemovertSession, fov, reverse: bool):
         """3× visibility re-checks of a delta map against the source
@@ -445,6 +589,7 @@ class Removerter:
         # each repeat only projects the shrinking delta set against them
         imgs = self._img_cache[id(source)]
         dbm = d_slots = None
+        sel_idx = sel_valid = None
         if use_blocks:
             # target side: a flagged point's range is bounded by the largest
             # source image pixel (≤ source vis bound), plus
@@ -481,9 +626,48 @@ class Removerter:
                 kb_t, _ = self._kb(sess.bm, bound_t)
                 nb = sess.bm.num_blocks
                 n_cb = int(jnp.any(cand.reshape(nb, bcap), axis=1).sum())
-                kb_eff = max(min(kb_t, ((n_cb + 127) // 128) * 128), 128)
+                kb_eff = min(max(min(kb_t, ((n_cb + 127) // 128) * 128), 128), nb)
+            # occlusion culling: per (keyframe, block) footprint test against
+            # the source images (−thres/+UB slack keeps flags exact — see
+            # kernels/occlusion.py).  One cull over the full candidate set
+            # serves every repeat (targets only shrink).
+            if cfg.use_occlusion_culling and self.mesh is None:
+                from ltm.kernels.occlusion import (
+                    compact_survivors,
+                    cull_blocks_vs_images,
+                    effective_range_image,
+                )
+
+                bm_c = dbm if dbm is not None else sess.bm
+                if dbm is not None:
+                    candidate = bm_c.block_valid
+                else:
+                    candidate = bm_c.block_valid & jnp.any(
+                        (bm_c.mask & cand.reshape(nb, bcap)), axis=1)
+                slack = float(VALID_DIFF_UB if reverse else -cfg.diff_threshold)
+                eff = effective_range_image(imgs, -jnp.inf)
+                survive = cull_blocks_vs_images(
+                    bm_c.bmin, bm_c.bmax, candidate,
+                    source.poses_inv[:Ks], eff, fov, shape, slack)
+                sel_idx, sel_valid, k_sel = compact_survivors(np.asarray(survive))
+                if k_sel >= kb_eff:
+                    sel_idx = sel_valid = None   # culling won nothing
+                else:
+                    sel_idx = jnp.asarray(sel_idx)
+                    sel_valid = jnp.asarray(sel_valid)
         for _ in range(cfg.nd_pd_filter_repeats):
-            if use_blocks:
+            if use_blocks and sel_idx is not None:
+                from ltm.kernels.blocks import (
+                    block_sweep_discrepancy_vs_images_presel,
+                )
+
+                bm_eff = dbm if dbm is not None else sess.bm
+                flagged = block_sweep_discrepancy_vs_images_presel(
+                    bm_eff, cur, imgs, source.poses_inv[:Ks],
+                    sel_idx, sel_valid, fov, shape,
+                    diff_threshold=cfg.diff_threshold, reverse=reverse,
+                )
+            elif use_blocks:
                 bm_eff = dbm if dbm is not None else sess.bm
                 if self.mesh is not None:
                     from ltm.dist.removert import (
@@ -581,15 +765,6 @@ class Removerter:
             k=cfg.num_knn_points, tile=8192, query_chunk=16384,
         )
 
-    def _use_pallas_chunk(self) -> bool:
-        """Fused Pallas gather+score kernel — opt-in.  Measured (TPU v5e,
-        262k×1M corridor and in-pipeline): bit-identical results but ~5%
-        SLOWER than the XLA chunk kernel — XLA's bulk block gather beats
-        per-block double-buffered DMA at 128-point blocks — so the XLA
-        kernel stays the default; the flag is kept for larger-block layouts
-        where the DMA pipeline should win."""
-        return bool(self.cfg.use_pallas_chunk_knn) and self.cfg.num_knn_points == 2
-
     def _knn_block_map(self, target_xyz, target_base=None):
         """kNN-grained block layout of a map, built ONCE per map object.
 
@@ -637,7 +812,18 @@ class Removerter:
         threshold: covered chunks by the clamp contract, overflowed chunks
         by escalation/brute force.  Returns None if the block layout could
         not be built so the caller falls through to brute force.
-        """
+
+        Split into start (dispatch the main kernel) and finish (fetch
+        overflow bits — a host sync — and escalate) so independent
+        directions can dispatch before either syncs."""
+        st = self._chunk_knn_start(query_xyz, query_mask, target_xyz,
+                                   target_mask, target_base)
+        if st is None:
+            return None
+        return self._chunk_knn_finish(*st)
+
+    def _chunk_knn_start(self, query_xyz, query_mask, target_xyz, target_mask,
+                         target_base=None):
         cfg = self.cfg
         if self.mesh is not None:
             from functools import partial
@@ -645,10 +831,6 @@ class Removerter:
             from ltm.dist.removert import chunk_knn_sqdists_sharded
 
             chunk_knn_sqdists = partial(chunk_knn_sqdists_sharded, self.mesh)
-        elif self._use_pallas_chunk():
-            from ltm.kernels.pallas_chunk_knn import pallas_chunk_knn_sqdists
-
-            chunk_knn_sqdists = pallas_chunk_knn_sqdists
         else:
             from ltm.kernels.chunk_knn import chunk_knn_sqdists
 
@@ -669,6 +851,13 @@ class Removerter:
             k=cfg.num_knn_points, chunk=cfg.chunk_knn_chunk,
             k_blocks=kb, sort_cell=cfg.chunk_knn_sort_cell,
         )
+        return (res, chunk_knn_sqdists, kbm, extra, clamp, kb, n_blocks,
+                query_xyz, query_mask, target_xyz, target_mask)
+
+    def _chunk_knn_finish(self, res, chunk_knn_sqdists, kbm, extra, clamp,
+                          kb, n_blocks, query_xyz, query_mask,
+                          target_xyz, target_mask):
+        cfg = self.cfg
         d = jnp.mean(res.sqdists, axis=-1)
         over = np.asarray(res.chunk_overflow)
         bad = np.flatnonzero(over)
@@ -743,7 +932,7 @@ class Removerter:
     # artifacts (reference save tree, Removerter.cpp:30-50,1442-1650)
     # ------------------------------------------------------------------
     def _scan_winners(self, xyz, mask, pose_inv, fov, shape):
-        local = xyz @ pose_inv[:3, :3].T + pose_inv[:3, 3]
+        local = apply_pose(xyz, pose_inv)
         win, *_ = winner_mask(local, mask, fov, shape)
         return local, win
 
@@ -753,7 +942,7 @@ class Removerter:
         import jax
 
         def one(Tinv):
-            local = xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+            local = apply_pose(xyz, Tinv)
             win, *_ = winner_mask(local, mask, fov, shape)
             return local, win
 
@@ -807,7 +996,7 @@ class Removerter:
             K = sess.num_keyframes
             R = sess.poses[:K, :3, :3]
             t = sess.poses[:K, :3, 3]
-            moved = jnp.einsum("kij,ksj->ksi", R, sess.scans_xyz[:K]) + t[:, None, :]
+            moved = jnp.einsum("kij,ksj->ksi", R, sess.scans_xyz[:K], precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
             flat = moved.reshape(-1, 3)
             fmask = sess.scans_mask[:K].reshape(-1)
             d = self._knn_stat(flat, fmask, sess.map_xyz,
@@ -831,7 +1020,7 @@ class Removerter:
             for k in (0, c.num_keyframes // 2):
                 Tinv = c.poses_inv[k]
                 scan_img = np.asarray(range_image(c.scans_xyz[k], c.scans_mask[k], fov, shape)).reshape(shape)
-                local = c.map_xyz @ Tinv[:3, :3].T + Tinv[:3, 3]
+                local = apply_pose(c.map_xyz, Tinv)
                 map_img = np.asarray(range_image(local, c.map_mask, fov, shape)).reshape(shape)
                 diff = np.where((scan_img < NO_POINT) & (map_img < NO_POINT), scan_img - map_img, NO_POINT)
                 save_range_image_png(os.path.join(out_dir, f"rimg_scan_{k:04d}.png"), scan_img,

@@ -195,6 +195,34 @@ def test_block_map_pipeline_matches_flat(bundle, result):
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
+def test_occlusion_culling_matches_uncull(bundle, result):
+    """The occlusion-culled pipeline (hierarchical-Z footprint tests,
+    kernels/occlusion.py — opt-in for enclosed geometry) must reproduce the
+    default pipeline's masks exactly — culling is a working-set reduction,
+    never a semantic change."""
+    res, _ = result   # default config (culling off)
+    cfg = RemovertConfig()
+    cfg.max_keyframes = NUM_KF
+    cfg.scan_capacity = 40960
+    cfg.map_capacity = 1 << 17
+    cfg.downsample_voxel_size = 0.1
+    cfg.knn_avg_sqdist_threshold = 0.04
+    cfg.keyframe_gap = 1
+    cfg.end_idx = 10_000
+    cfg.save_high_dyn_maps = False
+    cfg.use_occlusion_culling = True
+    res_u = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]))
+
+    for name in ("static_c", "dynamic_c", "static_q", "dynamic_q", "nd",
+                 "nd_strong", "nd_weak", "pd", "pd_strong", "updated"):
+        a = res.points(name)
+        b = res_u.points(name)
+        assert len(a) == len(b), (name, len(a), len(b))
+        a = a[np.lexsort(a.T)]
+        b = b[np.lexsort(b.T)]
+        np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+
 def test_device_scan_prep_matches_host(bundle):
     """The batched device preclean+downsample and the host per-scan loop must
     produce near-identical session maps (both are voxel centroids; they may
