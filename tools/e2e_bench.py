@@ -18,9 +18,15 @@ import time
 import numpy as np
 
 
-def synth_session(rng, n_kf, n_pts, traj=1200.0, lateral=45.0, phase=0.0):
+def synth_session(rng, n_kf, n_pts, traj=1200.0, lateral=45.0, phase=0.0,
+                  clusters=None):
     """Scans along a corridor: ground + walls + clutter in the LOCAL frame of
-    each pose, plus per-session parked 'cars' so change detection has work."""
+    each pose, plus per-session parked 'cars' so change detection has work.
+
+    ``clusters``: optional (M, 3) array of session-specific object centers —
+    car-sized point clusters added to every scan that sees them (the
+    small-delta workload: two sessions share the corridor geometry and
+    differ only in these objects)."""
     xs = np.linspace(60.0, traj - 60.0, n_kf)
     poses = np.tile(np.eye(4, dtype=np.float64), (n_kf, 1, 1))
     poses[:, 0, 3] = xs
@@ -39,8 +45,22 @@ def synth_session(rng, n_kf, n_pts, traj=1200.0, lateral=45.0, phase=0.0):
         c = np.stack([rng.uniform(-55, 55, nc), rng.uniform(-lateral, lateral, nc),
                       rng.uniform(-1.5, 2.0, nc)], 1)
         pts = np.concatenate([g, w, c]).astype(np.float32)
+        if clusters is not None:
+            T = poses[k]
+            near = clusters[np.abs(clusters[:, 0] - T[0, 3]) < 55.0]
+            for ctr in near:
+                obj = ctr[None] - T[:3, 3] + np.stack(
+                    [rng.uniform(-2.2, 2.2, 600), rng.uniform(-0.9, 0.9, 600),
+                     rng.uniform(0.0, 1.6, 600)], 1)
+                pts = np.concatenate([pts, obj.astype(np.float32)])
         scans.append(pts)
     return scans, poses
+
+
+def make_cluster_centers(rng, n, traj=1200.0, lateral=45.0):
+    return np.stack([rng.uniform(80, traj - 80, n),
+                     rng.uniform(-lateral + 5, lateral - 5, n),
+                     np.full(n, -1.6)], 1)
 
 
 def main() -> None:
@@ -54,12 +74,24 @@ def main() -> None:
     from ltm.removert.pipeline import Removerter
     from ltm.removert.session import RemovertInput
 
-    n_kf = int(sys.argv[1]) if len(sys.argv) > 1 else 48
-    n_pts = int(sys.argv[2]) if len(sys.argv) > 2 else 120_000
+    small_delta = "--small-delta" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_kf = int(args[0]) if len(args) > 0 else 48
+    n_pts = int(args[1]) if len(args) > 1 else 120_000
     rng = np.random.default_rng(0)
 
-    c_scans, c_poses = synth_session(rng, n_kf, n_pts, phase=0.0)
-    q_scans, q_poses = synth_session(rng, n_kf, n_pts, phase=0.25)
+    if small_delta:
+        # realistic survey shape (VERDICT r2 #8): both sessions observe the
+        # SAME corridor; they differ only in ~25 car-sized clusters each —
+        # the ND/PD candidate sets are then a few % of the map and the
+        # strong-weak delta re-blocking works on its intended shape
+        c_clu = make_cluster_centers(np.random.default_rng(7), 25)
+        q_clu = make_cluster_centers(np.random.default_rng(8), 25)
+        c_scans, c_poses = synth_session(rng, n_kf, n_pts, phase=0.0, clusters=c_clu)
+        q_scans, q_poses = synth_session(rng, n_kf, n_pts, phase=0.0, clusters=q_clu)
+    else:
+        c_scans, c_poses = synth_session(rng, n_kf, n_pts, phase=0.0)
+        q_scans, q_poses = synth_session(rng, n_kf, n_pts, phase=0.25)
     central = RemovertInput(scans=c_scans, poses=c_poses)
     query = RemovertInput(scans=q_scans, poses=q_poses)
 
