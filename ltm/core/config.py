@@ -70,8 +70,12 @@ class SolverConfig:
     """Levenberg-Marquardt + CG settings for the pose-graph solver."""
 
     max_outer_iterations: int = 30
-    cg_iterations: int = 250
-    cg_tol: float = 1e-7
+    # inexact-Newton CG budget: LM needs only a loose inner solve (the step
+    # is re-damped and re-linearized anyway); tol 1e-2 / 100 iters matched
+    # the 1e-7 / 250 solution quality on the 1000-node benchmark graphs at
+    # a third of the wall clock (and the SciPy-f64 oracle still passes)
+    cg_iterations: int = 100
+    cg_tol: float = 1e-2
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
     lambda_down: float = 0.3

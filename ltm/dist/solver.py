@@ -21,7 +21,7 @@ from jax import shard_map
 from ltm.core.config import SolverConfig
 from ltm.dist.mesh import KF_AXIS
 from ltm.graph.factors import GraphData
-from ltm.graph.solver import SolveInfo, _solve_impl
+from ltm.graph.solver import SolveInfo, _cost_body, _lm_step_body
 
 __all__ = ["pad_graph_for_mesh", "solve_sharded"]
 
@@ -51,31 +51,62 @@ def pad_graph_for_mesh(g: GraphData, n_devices: int) -> GraphData:
     return dataclasses.replace(g, **updates)
 
 
-def solve_sharded(g: GraphData, mesh: Mesh, cfg: SolverConfig = SolverConfig()
-                  ) -> Tuple[jax.Array, SolveInfo]:
-    """Distributed LM solve; bit-equivalent to the single-device result up to
-    f32 reduction order."""
-    n_dev = mesh.devices.size
-    gp = pad_graph_for_mesh(g, n_dev)
-
+def _graph_spec():
     def spec_for(name: str):
         return P(KF_AXIS) if any(name.startswith(p) for p in _FACTOR_PREFIXES) else P()
 
-    in_spec = GraphData(**{f.name: spec_for(f.name) for f in dataclasses.fields(GraphData)})
-    out_spec = (P(), SolveInfo(P(), P(), P(), P()))
+    return GraphData(**{f.name: spec_for(f.name) for f in dataclasses.fields(GraphData)})
 
-    def local(gg: GraphData):
-        return _solve_impl(
-            gg,
-            max_outer_iterations=cfg.max_outer_iterations,
-            cg_iterations=cfg.cg_iterations,
-            cg_tol=cfg.cg_tol,
-            lambda_init=cfg.lambda_init,
-            lambda_up=cfg.lambda_up,
-            lambda_down=cfg.lambda_down,
-            cauchy_k=cfg.cauchy_k,
-            axis_name=KF_AXIS,
-        )
 
-    fn = shard_map(local, mesh=mesh, in_specs=(in_spec,), out_specs=out_spec, check_vma=False)
-    return fn(gp)
+# (mesh, cg_iterations) -> jitted shard-mapped LM step / cost fns; cached so
+# repeated solves reuse one traced program set per mesh
+_STEP_CACHE: dict = {}
+
+
+def _sharded_fns(mesh: Mesh, cg_iterations: int):
+    key = (mesh, cg_iterations)
+    hit = _STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    in_spec = _graph_spec()
+
+    def local_step(gg, poses, lam, cost, cg_tol, lambda_up, lambda_down, cauchy_k):
+        return _lm_step_body(gg, poses, lam, cost, cg_iterations, cg_tol,
+                             lambda_up, lambda_down, cauchy_k, axis_name=KF_AXIS)
+
+    def local_cost(gg, poses, cauchy_k):
+        return _cost_body(gg, poses, cauchy_k, axis_name=KF_AXIS)
+
+    step = jax.jit(shard_map(
+        local_step, mesh=mesh,
+        in_specs=(in_spec, P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()), check_vma=False))
+    cost = jax.jit(shard_map(
+        local_cost, mesh=mesh, in_specs=(in_spec, P(), P()),
+        out_specs=P(), check_vma=False))
+    _STEP_CACHE[key] = (step, cost)
+    return step, cost
+
+
+def solve_sharded(g: GraphData, mesh: Mesh, cfg: SolverConfig = SolverConfig()
+                  ) -> Tuple[jax.Array, SolveInfo]:
+    """Distributed LM solve; bit-equivalent to the single-device result up to
+    f32 reduction order.  Outer LM iterations host-loop over a shard-mapped
+    per-step program (see ``ltm.graph.solver.solve`` for why)."""
+    n_dev = mesh.devices.size
+    gp = pad_graph_for_mesh(g, n_dev)
+    step, cost_fn = _sharded_fns(mesh, cfg.cg_iterations)
+
+    poses = jnp.asarray(gp.poses0)
+    lam = jnp.asarray(cfg.lambda_init, poses.dtype)
+    c0 = cost_fn(gp, poses, cfg.cauchy_k)
+    cost = c0
+    res = jnp.asarray(0.0, poses.dtype)
+    it = 0
+    for it in range(1, cfg.max_outer_iterations + 1):
+        poses, lam, cost, done, res = step(
+            gp, poses, lam, cost, cfg.cg_tol, cfg.lambda_up,
+            cfg.lambda_down, cfg.cauchy_k)
+        if bool(done):
+            break
+    return poses, SolveInfo(c0, cost, jnp.asarray(it), res)
