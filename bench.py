@@ -96,6 +96,12 @@ def main() -> None:
 
     kf_per_s = k_frames / dt
 
+    # free the 5M-point stage-bench arrays before the full-pipeline runs
+    del bm, map_xyz, map_mask, scans, smask, pose_inv, poses_j
+    import gc
+
+    gc.collect()
+
     # ---- full-pipeline metric (what a user of `ltm.cli.ltremovert` gets):
     # the complete 2-session LT-removert run (prep + HD removal + projected
     # static + kNN change detection + strong/weak + LT-map composition) on
@@ -140,8 +146,8 @@ def _pipeline_bench() -> float:
     cfg.downsample_voxel_size = 0.1
     rm = Removerter(cfg)
     best = 0.0
-    for _ in range(2):
-        t0 = time.perf_counter()
+    for _ in range(3):          # first run compiles; best-of-warm reduces
+        t0 = time.perf_counter()   # tunnel-latency variance (±0.5 s observed)
         result = rm.run(RemovertInput(scans=c_scans, poses=c_poses),
                         RemovertInput(scans=q_scans, poses=q_poses),
                         save_directory=None)
@@ -149,6 +155,7 @@ def _pipeline_bench() -> float:
         dt = time.perf_counter() - t0
         total_kf = result.central.num_keyframes + result.query.num_keyframes
         best = max(best, total_kf / dt)
+        del result
     return best
 
 

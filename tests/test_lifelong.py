@@ -13,14 +13,14 @@ def test_lifelong_three_sessions_fast(tmp_path):
     """Default-suite lifelong smoke: 3 tiny sessions chain through the live
     map with the capacity lock engaged (shape stability across rounds)."""
     bundle = make_n_sessions(n_sessions=3, num_keyframes=4, num_cars=6,
-                             max_scan_points=8000, scan_range=70.0,
+                             max_scan_points=4000, scan_range=70.0,
                              seed=23, point_noise=0.01, with_mover=False)
     inputs = [RemovertInput(scans=list(s.data.scans), poses=s.site_poses)
               for s in bundle["sessions"]]
     cfg = RemovertConfig()
-    cfg.scan_capacity = 8192
-    cfg.downsample_voxel_size = 0.1
-    cfg.knn_avg_sqdist_threshold = 0.04
+    cfg.scan_capacity = 4096
+    cfg.downsample_voxel_size = 0.15
+    cfg.knn_avg_sqdist_threshold = 0.09
     cfg.save_map_pcd = False
     cfg.save_clean_scans_pcd = False
     cfg.save_high_dyn_maps = False

@@ -19,7 +19,7 @@ import numpy as np
 
 
 def synth_session(rng, n_kf, n_pts, traj=1200.0, lateral=45.0, phase=0.0,
-                  clusters=None):
+                  clusters=None, clutter_frac=0.15):
     """Scans along a corridor: ground + walls + clutter in the LOCAL frame of
     each pose, plus per-session parked 'cars' so change detection has work.
 
@@ -34,9 +34,11 @@ def synth_session(rng, n_kf, n_pts, traj=1200.0, lateral=45.0, phase=0.0,
 
     scans = []
     for k in range(n_kf):
+        # default mix (0.55/0.30/0.15) is bit-identical to the round-1/2
+        # workload; clutter_frac only redistributes the clutter share
+        nc = int(n_pts * clutter_frac)
         ng = int(n_pts * 0.55)
-        nw = int(n_pts * 0.3)
-        nc = n_pts - ng - nw
+        nw = n_pts - nc - ng
         g = np.stack([rng.uniform(-60, 60, ng), rng.uniform(-lateral, lateral, ng),
                       rng.normal(-1.6, 0.03, ng)], 1)
         side = rng.choice([-lateral, lateral], nw)
@@ -81,14 +83,37 @@ def main() -> None:
     rng = np.random.default_rng(0)
 
     if small_delta:
-        # realistic survey shape (VERDICT r2 #8): both sessions observe the
-        # SAME corridor; they differ only in ~25 car-sized clusters each —
-        # the ND/PD candidate sets are then a few % of the map and the
-        # strong-weak delta re-blocking works on its intended shape
+        # realistic small-delta survey shape (VERDICT r2 #8): both sessions
+        # observe the SAME static world and differ only in ~25 car-sized
+        # clusters each, so the ND/PD candidate sets are a few % of the map
+        # (the strong-weak delta re-blocking's intended shape).  The base
+        # scans are SHARED between the sessions: at this workload's sampling
+        # budget (scan_capacity subsample ≈ 0.5 m ground spacing), two
+        # independent resamplings of a surface cannot match under the kNN
+        # radius, which reads ~3/4 of the map as change regardless of
+        # clutter — identical base observations model a repeat survey of
+        # unchanged structure instead
+        base_scans, c_poses = synth_session(rng, n_kf, n_pts, phase=0.0,
+                                            clutter_frac=0.0)
+        q_poses = c_poses
         c_clu = make_cluster_centers(np.random.default_rng(7), 25)
         q_clu = make_cluster_centers(np.random.default_rng(8), 25)
-        c_scans, c_poses = synth_session(rng, n_kf, n_pts, phase=0.0, clusters=c_clu)
-        q_scans, q_poses = synth_session(rng, n_kf, n_pts, phase=0.0, clusters=q_clu)
+
+        def with_clusters(scans, poses, clusters, seed):
+            crng = np.random.default_rng(seed)
+            out = []
+            for k, pts in enumerate(scans):
+                T = poses[k]
+                near = clusters[np.abs(clusters[:, 0] - T[0, 3]) < 55.0]
+                objs = [ctr[None] - T[:3, 3] + np.stack(
+                    [crng.uniform(-2.2, 2.2, 600), crng.uniform(-0.9, 0.9, 600),
+                     crng.uniform(0.0, 1.6, 600)], 1) for ctr in near]
+                out.append(np.concatenate([pts] + objs).astype(np.float32)
+                           if objs else pts)
+            return out
+
+        c_scans = with_clusters(base_scans, c_poses, c_clu, 17)
+        q_scans = with_clusters(base_scans, q_poses, q_clu, 18)
     else:
         c_scans, c_poses = synth_session(rng, n_kf, n_pts, phase=0.0)
         q_scans, q_poses = synth_session(rng, n_kf, n_pts, phase=0.25)
@@ -97,6 +122,17 @@ def main() -> None:
 
     cfg = RemovertConfig()
     cfg.downsample_voxel_size = 0.1  # production density at this synthetic scale
+    if small_delta:
+        # scale the kNN static-sensitivity with the voxel (the reference ties
+        # 0.01 m² to 0.05 m voxels): at 0.1 m voxels, two independent
+        # resamplings of the same surface differ by ~2 voxel-centroid shifts,
+        # and the unscaled threshold reads ~60% of the map as change —
+        # defeating the small-delta purpose of this mode
+        cfg.knn_avg_sqdist_threshold = 0.04
+        # no scan subsampling: the capacity stride depends on scan LENGTH
+        # (clusters differ per session), so capped sessions would keep
+        # nearly disjoint base subsets and everything reads as change again
+        cfg.scan_capacity = 1 << 16
     rm = Removerter(cfg)
 
     # cold run = compiles + steady state; warm run = the production number
