@@ -36,6 +36,32 @@ def _input_from(syn):
 
 
 @pytest.fixture(scope="module")
+def small_bundle():
+    """Equality-test fixture: the path-equivalence tests (block vs flat,
+    culled vs unculled, padded vs exact, device vs host prep) compare two
+    pipeline configurations point-set-exactly — detection quality is not
+    scored, so they run at a fraction of the quality fixtures' scale."""
+    return make_two_sessions(num_keyframes=6, num_cars=6, num_changed=2,
+                             max_scan_points=12000, scan_range=70.0,
+                             seed=11, point_noise=0.01)
+
+
+def _small_cfg():
+    cfg = RemovertConfig()
+    cfg.scan_capacity = 12288
+    cfg.downsample_voxel_size = 0.1
+    cfg.knn_avg_sqdist_threshold = 0.04
+    cfg.save_high_dyn_maps = False
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def small_result(small_bundle):
+    return Removerter(_small_cfg()).run(_input_from(small_bundle["central"]),
+                                        _input_from(small_bundle["query"]))
+
+
+@pytest.fixture(scope="module")
 def result(bundle, tmp_path_factory):
     cfg = RemovertConfig()
     cfg.max_keyframes = NUM_KF
@@ -169,21 +195,14 @@ def test_artifacts_written(result):
     assert pts.shape[0] > 100
 
 
-def test_block_map_pipeline_matches_flat(bundle, result):
+def test_block_map_pipeline_matches_flat(small_bundle, small_result):
     """The default (auto-sized block-local) pipeline must reproduce the flat
     whole-map pipeline's masks exactly — no block tuning keys set anywhere."""
-    res, _ = result   # default config = block map path, auto layout/k_blocks
-    cfg = RemovertConfig()
-    cfg.max_keyframes = NUM_KF
-    cfg.scan_capacity = 40960
-    cfg.map_capacity = 1 << 17
-    cfg.downsample_voxel_size = 0.1
-    cfg.knn_avg_sqdist_threshold = 0.04
-    cfg.keyframe_gap = 1
-    cfg.end_idx = 10_000
-    cfg.save_high_dyn_maps = False
+    res = small_result   # default config = block map path, auto layout/k_blocks
+    cfg = _small_cfg()
     cfg.use_block_map = False       # the reference-shaped whole-map sweep
-    res_f = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]))
+    res_f = Removerter(cfg).run(_input_from(small_bundle["central"]),
+                                _input_from(small_bundle["query"]))
 
     # same point sets for every named mask (layouts differ -> compare as sets)
     for name in ("static_c", "dynamic_c", "nd", "nd_strong", "pd", "updated"):
@@ -195,23 +214,16 @@ def test_block_map_pipeline_matches_flat(bundle, result):
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
-def test_occlusion_culling_matches_uncull(bundle, result):
+def test_occlusion_culling_matches_uncull(small_bundle, small_result):
     """The occlusion-culled pipeline (hierarchical-Z footprint tests,
     kernels/occlusion.py — opt-in for enclosed geometry) must reproduce the
     default pipeline's masks exactly — culling is a working-set reduction,
     never a semantic change."""
-    res, _ = result   # default config (culling off)
-    cfg = RemovertConfig()
-    cfg.max_keyframes = NUM_KF
-    cfg.scan_capacity = 40960
-    cfg.map_capacity = 1 << 17
-    cfg.downsample_voxel_size = 0.1
-    cfg.knn_avg_sqdist_threshold = 0.04
-    cfg.keyframe_gap = 1
-    cfg.end_idx = 10_000
-    cfg.save_high_dyn_maps = False
+    res = small_result   # default config (culling off)
+    cfg = _small_cfg()
     cfg.use_occlusion_culling = True
-    res_u = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]))
+    res_u = Removerter(cfg).run(_input_from(small_bundle["central"]),
+                                _input_from(small_bundle["query"]))
 
     for name in ("static_c", "dynamic_c", "static_q", "dynamic_q", "nd",
                  "nd_strong", "nd_weak", "pd", "pd_strong", "updated"):
@@ -223,18 +235,14 @@ def test_occlusion_culling_matches_uncull(bundle, result):
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
-def test_device_scan_prep_matches_host(bundle):
+def test_device_scan_prep_matches_host(small_bundle):
     """The batched device preclean+downsample and the host per-scan loop must
     produce near-identical session maps (both are voxel centroids; they may
     disagree only through f32 centroid rounding at voxel borders)."""
     from ltm.removert.session import RemovertSession, parse_keyframe_indices
 
-    inp = _input_from(bundle["central"])
-    cfg = RemovertConfig()
-    cfg.max_keyframes = NUM_KF
-    cfg.scan_capacity = 40960
-    cfg.map_capacity = 1 << 17
-    cfg.downsample_voxel_size = 0.1
+    inp = _input_from(small_bundle["central"])
+    cfg = _small_cfg()
     idx = parse_keyframe_indices(len(inp.scans), cfg.start_idx, 10_000, 1)
 
     cfg.device_scan_prep = True
@@ -362,22 +370,16 @@ def test_no_silent_truncation():
     assert sess2.poses.shape[0] == 64
 
 
-def test_keyframe_padding_invariance(bundle, result):
+def test_keyframe_padding_invariance(small_bundle, small_result):
     """max_keyframes > actual keyframes must not change any result: padded
     pose entries are identity matrices — a phantom viewpoint at the global
     origin — and must be excluded from every sweep (regression)."""
-    cfg = RemovertConfig()
-    cfg.max_keyframes = NUM_KF + 6  # force padding
-    cfg.scan_capacity = 40960
-    cfg.map_capacity = 1 << 17
-    cfg.downsample_voxel_size = 0.1
-    cfg.knn_avg_sqdist_threshold = 0.04
-    cfg.keyframe_gap = 1
-    cfg.end_idx = 10_000
-    cfg.save_high_dyn_maps = False
-    res_p = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]))
+    cfg = _small_cfg()
+    cfg.max_keyframes = 6 + 6  # force padding past the real keyframe count
+    res_p = Removerter(cfg).run(_input_from(small_bundle["central"]),
+                                _input_from(small_bundle["query"]))
 
-    res, _ = result
+    res = small_result
     for name in ("static_c", "dynamic_c", "nd", "nd_strong", "nd_weak",
                  "pd", "pd_strong", "updated"):
         a = res.points(name)
