@@ -328,6 +328,32 @@ class LTSlam:
         farm, ``LTslam.cpp:389``); with a mesh, each chunk's batch axis also
         shards across devices — returns list of results."""
         cfg = self.cfg.icp
+        if self.mesh is None and cfg.coarse_iterations == 0 and len(pair_data) > 8:
+            # lane-compacted farm: converged pairs retire at segment
+            # granularity instead of waiting for their chunk's straggler
+            # (bitwise-identical results — see icp_batch_compacted)
+            from ltm.register.icp import icp_batch_compacted
+
+            sx = jnp.stack([b[0] for b in pair_data])
+            sm = jnp.stack([b[1] for b in pair_data])
+            tx = jnp.stack([b[2] for b in pair_data])
+            tm = jnp.stack([b[3] for b in pair_data])
+            res = icp_batch_compacted(
+                sx, sm, tx, tm, jnp.asarray(init_transforms, jnp.float32),
+                max_correspondence_distance=cfg.max_correspondence_distance,
+                max_iterations=cfg.max_iterations,
+                transformation_epsilon=cfg.transformation_epsilon,
+                euclidean_fitness_epsilon=cfg.euclidean_fitness_epsilon,
+                tile=4096, update_trim_distance=cfg.update_trim_distance,
+            )
+            it = np.asarray(res.iterations)
+            log.info("ICP iterations over %d pairs: min %d / median %d / p90 %d / max %d",
+                     len(it), it.min(), int(np.median(it)),
+                     int(np.percentile(it, 90)), it.max())
+            T = np.asarray(res.transform)
+            fit = np.asarray(res.fitness)
+            conv = np.asarray(res.converged)
+            return [(T[b], float(fit[b]), bool(conv[b])) for b in range(len(pair_data))]
         results = []
         iter_counts = []
         if self.mesh is not None:

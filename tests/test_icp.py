@@ -117,3 +117,34 @@ def test_icp_abs_mse_criterion_stops_early(rng):
     assert bool(res.converged)
     assert int(res.iterations) < 100
     assert int(res.criterion) == CRIT_ABS_MSE
+
+
+def test_icp_batch_compacted_matches_batch(rng):
+    """Lane compaction must be result-invariant: each pair's iteration
+    sequence is independent of batching, so the compacted farm returns the
+    fused vmapped batch's transforms/fitness/iterations bitwise."""
+    from ltm.register.icp import icp_batch_compacted
+
+    src = structured_cloud(rng, 700)
+    n = len(src)
+    pairs = []
+    for i in range(5):
+        T = np.asarray(se3.from_rpy(0, 0, 0.05 * (i + 1), t=[0.3 * i, -0.2, 0.0]))
+        tgt = (src @ T[:3, :3].T + T[:3, 3] +
+               rng.normal(0, 0.01 * (i + 1), src.shape)).astype(np.float32)
+        pairs.append(tgt)
+    srcs = jnp.asarray(np.stack([src] * 5))
+    tgts = jnp.asarray(np.stack(pairs))
+    masks = jnp.ones((5, n), bool)
+
+    ref = icp_batch(srcs, masks, tgts, masks, max_iterations=60, tile=1024)
+    got = icp_batch_compacted(srcs, masks, tgts, masks, max_iterations=60,
+                              tile=1024, segment=13, width=2)
+    np.testing.assert_array_equal(np.asarray(ref.iterations), np.asarray(got.iterations))
+    np.testing.assert_allclose(np.asarray(ref.transform), np.asarray(got.transform),
+                               atol=0, rtol=0)
+    # fitness batches under a different vmap width -> f32 reduction-order
+    # ulp differences; transforms/iterations above are bitwise
+    np.testing.assert_allclose(np.asarray(ref.fitness), np.asarray(got.fitness),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref.criterion), np.asarray(got.criterion))
