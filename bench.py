@@ -37,6 +37,11 @@ def main() -> None:
     fov = (50.0, 360.0)
     shape = rimg_shape(fov, 2.5)  # (125, 900), the reference operating point
 
+    # full-pipeline metric FIRST (fresh process state: measured ~1 kf/s
+    # faster than running it after the 5M-point stage bench in the same
+    # process) — what a user of `ltm.cli.ltremovert` gets end-to-end
+    pipeline_kf_per_s = _pipeline_bench()
+
     n_map = 5_000_000
     n_scan = 65_536
     k_frames = 32
@@ -96,20 +101,11 @@ def main() -> None:
 
     kf_per_s = k_frames / dt
 
-    # free the 5M-point stage-bench arrays before the full-pipeline runs
+    # free the 5M-point stage-bench arrays before the slam bench
     del bm, map_xyz, map_mask, scans, smask, pose_inv, poses_j
     import gc
 
     gc.collect()
-
-    # ---- full-pipeline metric (what a user of `ltm.cli.ltremovert` gets):
-    # the complete 2-session LT-removert run (prep + HD removal + projected
-    # static + kNN change detection + strong/weak + LT-map composition) on
-    # a 2x48-keyframe / 2x776k-point-map synthetic survey — the same
-    # workload tools/e2e_bench.py tracks.  Warm wall time (jit-cached): a
-    # survey processes hundreds of keyframe batches against one compiled
-    # program set, and the CLI persists the XLA compilation cache.
-    pipeline_kf_per_s = _pipeline_bench()
 
     # ---- LT-SLAM flagship metrics (the other driver): keyframes/s of the
     # full multi-session pipeline + ATE RMSE vs synthetic ground truth on a
