@@ -38,6 +38,9 @@ class ICPConfig:
 
     max_correspondence_distance: float = 150.0
     max_iterations: int = 100
+    # PCL setTransformationEpsilon: tested on the INCREMENTAL per-iteration
+    # transform (rotation cos >= 1-eps AND squared step translation <= eps,
+    # DefaultConvergenceCriteria as wired by icp.hpp) — see register/icp.py
     transformation_epsilon: float = 1e-6
     # require ICPResult.converged for loop acceptance, mirroring the
     # reference's ``icp.hasConverged() && fitness < thr`` accept test

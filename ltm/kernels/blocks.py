@@ -94,8 +94,9 @@ def build_block_map_with_slots(
     # secondary key: Morton code of the 8x8x8 sub-cell position, so the
     # capacity-sized blocks a cell spills into are spatially COMPACT runs
     # instead of arbitrary point subsets — tighter bounding balls mean finer
-    # range culling (~10% smaller sweep working sets, measured) at identical
-    # semantics (blocks still never span cells)
+    # range culling (~10% smaller sweep working sets, measured).  With dense
+    # packing below, blocks MAY span cell boundaries — exactness relies only
+    # on each block's measured center/radius/AABB, never on the cell grid
     sub = jnp.clip(jnp.floor(xyz * (8.0 / cell_size)).astype(jnp.int32) - coords * 8, 0, 7)
 
     def _spread3(v):  # 3 bits -> every 3rd bit

@@ -64,6 +64,21 @@ def _umeyama_rigid(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
     return se3.from_rot_trans(R, t)
 
 
+def _transform_eps_hit(delta: jax.Array, transformation_epsilon) -> jax.Array:
+    """PCL DefaultConvergenceCriteria transform test on the INCREMENTAL
+    per-iteration transform (``default_convergence_criteria.hpp``):
+    ``cos_angle = (trace(R)-1)/2 >= rotation_threshold`` AND squared step
+    translation ``<= translation_threshold``, with IterativeClosestPoint
+    wiring ``rotation_threshold = 1 - transformation_epsilon`` and
+    ``translation_threshold = transformation_epsilon`` (``icp.hpp``).  The
+    delta is ≈identity at convergence whatever the absolute pose, so the test
+    is f32-meaningful (unlike a difference of absolute transforms)."""
+    cos_angle = 0.5 * (delta[0, 0] + delta[1, 1] + delta[2, 2] - 1.0)
+    trans_sqr = jnp.sum(delta[:3, 3] ** 2)
+    return (cos_angle >= 1.0 - transformation_epsilon) & \
+        (trans_sqr <= transformation_epsilon)
+
+
 @partial(jax.jit, static_argnames=("max_iterations", "tile", "coarse_iterations", "coarse_stride"))
 def icp_point_to_point(
     src_xyz: jax.Array,      # (N, 3)
@@ -91,11 +106,21 @@ def icp_point_to_point(
     transform/fitness always come from full-resolution iterations.
 
     Convergence mirrors PCL ``DefaultConvergenceCriteria`` as configured by
-    the reference (``ltslam/src/LTslam.cpp:206-211``): consecutive-transform
-    epsilon OR absolute-MSE change (``setEuclideanFitnessEpsilon(1e-6)``,
-    ``:210``) OR max iterations; ``converged`` follows ``hasConverged()``
-    (true on any of those exits — PCL's ``failure_after_max_iter`` defaults
-    false — false only for degenerate inputs), so the reference's accept test
+    the reference (``ltslam/src/LTslam.cpp:206-211``).  PCL's transform test
+    examines the INCREMENTAL per-iteration transform (``transformation_`` in
+    ``icp.hpp``'s loop): rotation via ``cos_angle = (trace(R)-1)/2 >=
+    1 - transformation_epsilon`` and squared translation norm ``<=
+    transformation_epsilon`` (``setTranslationThreshold(transformation_eps)``
+    / ``setRotationThreshold(1 - transformation_eps)``), OR the MSE-change
+    criterion (``setEuclideanFitnessEpsilon(1e-6)``, ``:210`` →
+    ``|MSE_k - MSE_{k-1}| < eps``), OR max iterations.  Testing the
+    incremental delta — which is ≈identity at convergence regardless of pose
+    magnitude — is also what makes the criterion meaningful in f32: a
+    difference of absolute 4x4 matrices carries the pose's translation scale
+    and in f32 never sinks below 1e-6 at tens-of-metre translations (PCL
+    evaluates in double).  ``converged`` follows ``hasConverged()`` (true on
+    any criterion exit — PCL's ``failure_after_max_iter`` defaults false —
+    false only for degenerate inputs), so the reference's accept test
     ``hasConverged() && fitness < thr`` (``:222``) transfers verbatim."""
     T0 = jnp.eye(4, dtype=src_xyz.dtype) if init_transform is None else init_transform
     trim = max_correspondence_distance if update_trim_distance is None else update_trim_distance
@@ -121,10 +146,8 @@ def icp_point_to_point(
                 dst = t_xyz[idx]
                 delta = _umeyama_rigid(moved, dst, w)
                 T_new = se3.compose(delta, T)
-                # PCL transformation epsilon: sq diff of consecutive transforms
-                dT = jnp.sum((T_new - T) ** 2)
-                eps_hit = dT < transformation_epsilon
-                # PCL absolute-MSE criterion (setEuclideanFitnessEpsilon):
+                eps_hit = _transform_eps_hit(delta, transformation_epsilon)
+                # PCL MSE-change criterion (setEuclideanFitnessEpsilon):
                 # |MSE_k − MSE_{k−1}| of the in-range correspondences
                 mse = jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), 1.0)
                 mse_hit = jnp.abs(mse - prev_mse) < euclidean_fitness_epsilon
@@ -173,8 +196,7 @@ def _icp_segment(src_xyz, src_mask, tgt_xyz, tgt_mask, T, done, n_it, prev_mse,
         dst = tgt_xyz[idx]
         delta = _umeyama_rigid(moved, dst, w)
         T_new = se3.compose(delta, T_)
-        dT = jnp.sum((T_new - T_) ** 2)
-        eps_hit = dT < transformation_epsilon
+        eps_hit = _transform_eps_hit(delta, transformation_epsilon)
         mse = jnp.sum(w * d2) / jnp.maximum(jnp.sum(w), 1.0)
         mse_hit = jnp.abs(mse - prev_mse_) < euclidean_fitness_epsilon
         new_crit = jnp.where(eps_hit, CRIT_TRANSFORM_EPS,

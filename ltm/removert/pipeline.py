@@ -166,21 +166,25 @@ class Removerter:
         # ---------------- Step 1: high-dynamic removal --------------------
         # central's device stages overlap the query session's host build
         # (the reference's prep and removal are strictly serial,
-        # Removerter.cpp:1653-1678)
-        with stage_timer("removert.high_dynamic", log):
-            self._remove_high_dynamic(central, fov)
-        # projected static coverage at the reprojection resolution — fused
-        # with the strong-weak filter's source images: the same per-keyframe
-        # winner pass over the same static set produces both (one packed
-        # scatter-min instead of two winner projections + an image build;
-        # see kernels.projection.packed_winner_image)
-        with stage_timer("removert.project_static", log):
-            proj_static, imgs = self._project_static_and_images(central, fov)
-            central.masks["proj_static"] = proj_static
-            self._img_cache[id(central)] = imgs
-        with stage_timer("removert.prep", log):
-            query = f_q.result()
-            ex.shutdown()
+        # Removerter.cpp:1653-1678).  The try/finally joins the background
+        # build even when a central stage raises, so errors stay clean and
+        # the pool thread never outlives the driver.
+        try:
+            with stage_timer("removert.high_dynamic", log):
+                self._remove_high_dynamic(central, fov)
+            # projected static coverage at the reprojection resolution —
+            # fused with the strong-weak filter's source images: the same
+            # per-keyframe winner pass over the same static set produces both
+            # (one packed scatter-min instead of two winner projections + an
+            # image build; see kernels.projection.packed_winner_image)
+            with stage_timer("removert.project_static", log):
+                proj_static, imgs = self._project_static_and_images(central, fov)
+                central.masks["proj_static"] = proj_static
+                self._img_cache[id(central)] = imgs
+            with stage_timer("removert.prep", log):
+                query = f_q.result()
+        finally:
+            ex.shutdown(wait=True)
         self._log_counts("query: %d keyframes, %d map pts",
                          query.num_keyframes, query.map_mask.sum())
         for sess in (central, query):
@@ -340,7 +344,8 @@ class Removerter:
             from ltm.kernels.blocks import block_fused_phase_a, block_fused_phase_b
             from ltm.kernels.occlusion import compact_survivors
 
-            r_near = cfg.occlusion_near_range or self._fwd_bound(sess)
+            r_near = (self._fwd_bound(sess) if cfg.occlusion_near_range is None
+                      else cfg.occlusion_near_range)
             kb_near, r_near_b = self._kb(sess.bm, r_near)
             sel_a, sel_a_valid, packed_imgs, survive = block_fused_phase_a(
                 sess.bm, sess.masks["static"], sess.poses_inv[:K],

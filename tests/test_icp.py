@@ -119,6 +119,30 @@ def test_icp_abs_mse_criterion_stops_early(rng):
     assert int(res.criterion) == CRIT_ABS_MSE
 
 
+def test_icp_transform_eps_fires_far_from_origin(rng):
+    """Regression for the f32-dead criterion: PCL's transform test examines
+    the INCREMENTAL delta (≈identity at convergence), so it must fire at the
+    default 1e-6 even when the clouds sit far from the origin — where the old
+    sum((T_new-T)^2) form carried the pose scale and never sank below 1e-6,
+    pushing every pair to the 100-iteration cap (reference converges early,
+    LTslam.cpp:206-211 evaluates in double)."""
+    from ltm.register.icp import CRIT_TRANSFORM_EPS
+
+    src = structured_cloud(rng) + np.array([450.0, -380.0, 12.0], np.float32)
+    T_gt = np.asarray(se3.from_rpy(0.0, 0.0, 0.1, t=[0.6, -0.3, 0.05]))
+    tgt = (src @ T_gt[:3, :3].T + T_gt[:3, 3]).astype(np.float32)
+    n = len(src)
+    res = icp_point_to_point(
+        jnp.asarray(src), jnp.ones(n, bool), jnp.asarray(tgt), jnp.ones(n, bool),
+        max_iterations=100, tile=1024,
+    )
+    assert bool(res.converged)
+    assert int(res.iterations) < 50, int(res.iterations)
+    assert int(res.criterion) in (CRIT_TRANSFORM_EPS,), int(res.criterion)
+    err = np.asarray(se3.log(se3.between(jnp.asarray(T_gt, jnp.float32), res.transform)))
+    assert np.abs(err).max() < 5e-3, err
+
+
 def test_icp_batch_compacted_matches_batch(rng):
     """Lane compaction must be result-invariant: each pair's iteration
     sequence is independent of batching, so the compacted farm returns the
