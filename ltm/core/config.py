@@ -79,6 +79,13 @@ class SolverConfig:
     # a third of the wall clock (and the SciPy-f64 oracle still passes)
     cg_iterations: int = 100
     cg_tol: float = 1e-2
+    # "tridiag": block-tridiagonal (odometry-chain) preconditioner — the
+    # exact normal matrix of the priors+odom subgraph plus diagonal terms,
+    # solved by a block-Thomas scan.  Block-Jacobi ("jacobi") left CG at its
+    # iteration cap on 500-node chains (residual ~0.3-0.8 vs tol 1e-2,
+    # measured round 4); the chain preconditioner converges CG in ~10-20
+    # iterations and makes LM steps near-exact Gauss-Newton.
+    preconditioner: str = "tridiag"
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
     lambda_down: float = 0.3
@@ -114,9 +121,14 @@ class LTSlamConfig:
 
     # padded capacities.  max_nodes_per_session=None auto-sizes (pow-2
     # bucket of the largest session); explicit values escalate with a
-    # warning instead of raising — nothing is silently dropped
+    # warning instead of raising — nothing is silently dropped.
+    # scan_capacity=None auto-sizes to a pow-2 bucket of the largest scan
+    # across the loaded sessions (full density, no truncation — the same
+    # discipline as RemovertConfig); an explicit value caps with a warning
+    # and deterministic stride subsampling (an explicitly chosen operating
+    # point, e.g. for memory-constrained chips)
     max_nodes_per_session: Optional[int] = None
-    scan_capacity: int = 8192
+    scan_capacity: Optional[int] = None
 
     # device mesh: shard the hot loops (SC scoring, ICP batches, LM solve)
     # across this many local devices (None/1 = single device; -1 = all).

@@ -63,8 +63,8 @@ def _graph_spec():
 _STEP_CACHE: dict = {}
 
 
-def _sharded_fns(mesh: Mesh, cg_iterations: int):
-    key = (mesh, cg_iterations)
+def _sharded_fns(mesh: Mesh, cg_iterations: int, precond: str = "tridiag"):
+    key = (mesh, cg_iterations, precond)
     hit = _STEP_CACHE.get(key)
     if hit is not None:
         return hit
@@ -72,7 +72,8 @@ def _sharded_fns(mesh: Mesh, cg_iterations: int):
 
     def local_step(gg, poses, lam, cost, cg_tol, lambda_up, lambda_down, cauchy_k):
         return _lm_step_body(gg, poses, lam, cost, cg_iterations, cg_tol,
-                             lambda_up, lambda_down, cauchy_k, axis_name=KF_AXIS)
+                             lambda_up, lambda_down, cauchy_k, axis_name=KF_AXIS,
+                             precond=precond)
 
     def local_cost(gg, poses, cauchy_k):
         return _cost_body(gg, poses, cauchy_k, axis_name=KF_AXIS)
@@ -95,7 +96,7 @@ def solve_sharded(g: GraphData, mesh: Mesh, cfg: SolverConfig = SolverConfig()
     per-step program (see ``ltm.graph.solver.solve`` for why)."""
     n_dev = mesh.devices.size
     gp = pad_graph_for_mesh(g, n_dev)
-    step, cost_fn = _sharded_fns(mesh, cfg.cg_iterations)
+    step, cost_fn = _sharded_fns(mesh, cfg.cg_iterations, cfg.preconditioner)
 
     poses = jnp.asarray(gp.poses0)
     lam = jnp.asarray(cfg.lambda_init, poses.dtype)
@@ -103,10 +104,21 @@ def solve_sharded(g: GraphData, mesh: Mesh, cfg: SolverConfig = SolverConfig()
     cost = c0
     res = jnp.asarray(0.0, poses.dtype)
     it = 0
+    prev_cost = float(c0)
+    stall = 0
     for it in range(1, cfg.max_outer_iterations + 1):
         poses, lam, cost, done, res = step(
             gp, poses, lam, cost, cfg.cg_tol, cfg.lambda_up,
             cfg.lambda_down, cfg.cauchy_k)
         if bool(done):
             break
+        # host-side stall exit (same rule as ltm.graph.solver.solve)
+        c = float(cost)
+        if (prev_cost - c) <= 1e-7 * max(prev_cost, 1e-20):
+            stall += 1
+            if stall >= 3:
+                break
+        else:
+            stall = 0
+        prev_cost = c
     return poses, SolveInfo(c0, cost, jnp.asarray(it), res)

@@ -79,8 +79,21 @@ def _weighted_residual_fn(poses: jax.Array, g: GraphData, wb, wa):
     return f
 
 
-def _block_jacobi(poses: jax.Array, g: GraphData, wb, wa, lam, axis_name=None) -> jax.Array:
-    """(V, 6, 6) inverse of blockdiag(JᵀJ) + lam I via per-factor autodiff."""
+def _precond_blocks(poses: jax.Array, g: GraphData, wb, wa, lam,
+                    axis_name=None, tridiag: bool = False):
+    """Preconditioner blocks from per-factor autodiff Jacobians.
+
+    Returns ``(D, L)``: ``D`` (V,6,6) = blockdiag(JᵀWJ) + lam·I, and — when
+    ``tridiag`` — ``L`` (V,6,6) with ``L[v] = H[v, v-1]``, the subdiagonal
+    blocks contributed by adjacent-variable between factors (the odometry
+    chains).  ``D`` and ``L`` together are the EXACT normal matrix of the
+    subgraph {priors, odometry betweens, λ-damping} plus the diagonal parts
+    of every other factor — SPD by construction (a sum of JᵀWJ of a factor
+    subset, PSD diagonal terms, and λI), so the Thomas factorization below
+    needs no pivoting.  Block-Jacobi (tridiag=False) needed 100+ CG
+    iterations on 500-node chains (CG residual never reached tol 1e-2 —
+    measured round 4); the chain preconditioner captures the long-range
+    error modes the diagonal cannot."""
     V = g.num_vars
     blocks = jnp.zeros((V, 6, 6), poses.dtype)
 
@@ -122,19 +135,101 @@ def _block_jacobi(poses: jax.Array, g: GraphData, wb, wa, lam, axis_name=None) -
         J = J * wafac
         blocks = blocks.at[idx].add(jnp.einsum("fij,fik->fjk", J, J, precision=jax.lax.Precision.HIGHEST))
 
+    L = None
+    if tridiag:
+        # subdiagonal: between factors connecting adjacent variables (the
+        # odometry chains in the [anchors, session-0 nodes, session-1 ...]
+        # layout).  H[j,i] = Σ_f J_jᵀ W J_i; non-adjacent factors scatter 0.
+        L = jnp.zeros((V, 6, 6), poses.dtype)
+        fwd = (g.bet_j == g.bet_i + 1)[:, None, None]
+        off_ji = jnp.einsum("frj,fri->fji", Jbj, Jbi,
+                            precision=jax.lax.Precision.HIGHEST)
+        L = L.at[g.bet_j].add(jnp.where(fwd, off_ji, 0.0))
+        rev = (g.bet_i == g.bet_j + 1)[:, None, None]
+        off_ij = jnp.einsum("frj,fri->fji", Jbi, Jbj,
+                            precision=jax.lax.Precision.HIGHEST)
+        L = L.at[g.bet_i].add(jnp.where(rev, off_ij, 0.0))
+
     blocks = _maybe_psum(blocks, axis_name)
     eye = jnp.eye(6, dtype=poses.dtype)
     blocks = blocks + lam * eye
     # fixed vars: identity so the (zeroed) components stay zero
     blocks = jnp.where(g.fixed[:, None, None], eye, blocks)
-    return jnp.linalg.inv(blocks)
+    if tridiag:
+        L = _maybe_psum(L, axis_name)
+        # decouple the chain at fixed variables (their rows are identity)
+        cut = g.fixed | jnp.roll(g.fixed, 1)
+        L = jnp.where(cut[:, None, None], 0.0, L)
+        L = L.at[0].set(0.0)
+    return blocks, L
 
 
-def _pcg(hvp, b, minv_blocks, g: GraphData, iters: int, tol: float):
+def _block_jacobi(poses: jax.Array, g: GraphData, wb, wa, lam, axis_name=None) -> jax.Array:
+    """(V, 6, 6) inverse of blockdiag(JᵀJ) + lam I via per-factor autodiff."""
+    D, _ = _precond_blocks(poses, g, wb, wa, lam, axis_name, tridiag=False)
+    return jnp.linalg.inv(D)
+
+
+def _tridiag_factor(D: jax.Array, L: jax.Array) -> jax.Array:
+    """Block-Thomas factorization of the SPD block-tridiagonal (D, L):
+    returns ``Cinv`` (V,6,6) with ``C_0 = D_0``,
+    ``C_i = D_i − L_i C_{i-1}⁻¹ L_iᵀ`` — one sequential scan of 6×6 ops
+    (~V tiny steps, once per LM step; the per-CG-iteration applications
+    below reuse it)."""
+
+    def step(prev_cinv, inp):
+        D_i, L_i = inp
+        C = D_i - jnp.matmul(
+            L_i, jnp.matmul(prev_cinv, L_i.T, precision=jax.lax.Precision.HIGHEST),
+            precision=jax.lax.Precision.HIGHEST)
+        Cinv = jnp.linalg.inv(C)
+        return Cinv, Cinv
+
+    eye = jnp.eye(6, dtype=D.dtype)
+    _, Cinv = jax.lax.scan(step, eye, (D, L))
+    return Cinv
+
+
+def _tridiag_apply(Cinv: jax.Array, L: jax.Array, r: jax.Array) -> jax.Array:
+    """Solve M x = r for block-tridiagonal M given its Thomas factorization:
+    forward elimination then back substitution (two scans of 6×6 matvecs)."""
+    mv = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    def fwd(u_prev, inp):
+        r_i, L_i, Cinv_i = inp
+        y_i = r_i - mv(L_i, u_prev)
+        return mv(Cinv_i, y_i), y_i
+
+    _, y = jax.lax.scan(fwd, jnp.zeros((6,), r.dtype), (r, L, Cinv))
+
+    L_next = jnp.concatenate([L[1:], jnp.zeros((1, 6, 6), L.dtype)])
+
+    def bwd(x_next, inp):
+        y_i, Cinv_i, L_n = inp
+        x_i = mv(Cinv_i, y_i - mv(L_n.T, x_next))
+        return x_i, x_i
+
+    _, x = jax.lax.scan(bwd, jnp.zeros((6,), r.dtype), (y, Cinv, L_next),
+                        reverse=True)
+    return x
+
+
+def _make_preconditioner(poses, g: GraphData, wb, wa, lam, axis_name, precond: str):
+    """Returns apply(r) -> M⁻¹ r for the configured preconditioner."""
+    if precond == "tridiag":
+        D, L = _precond_blocks(poses, g, wb, wa, lam, axis_name, tridiag=True)
+        Cinv = _tridiag_factor(D, L)
+        return lambda r: _tridiag_apply(Cinv, L, r)
+    minv = _block_jacobi(poses, g, wb, wa, lam, axis_name)
+    return lambda r: jnp.einsum("vij,vj->vi", minv, r,
+                                precision=jax.lax.Precision.HIGHEST)
+
+
+def _pcg(hvp, b, apply_prec, g: GraphData, iters: int, tol: float):
     """Preconditioned CG on (V, 6) tensors; fixed vars masked out."""
 
     def apply_m(r):
-        return _free(jnp.einsum("vij,vj->vi", minv_blocks, r, precision=jax.lax.Precision.HIGHEST), g)
+        return _free(apply_prec(r), g)
 
     def dot(a, b_):
         return jnp.sum(a * b_)
@@ -177,7 +272,8 @@ def _pcg(hvp, b, minv_blocks, g: GraphData, iters: int, tol: float):
 # ---------------------------------------------------------------------------
 
 def _lm_step_body(g: GraphData, poses, lam, cost, cg_iterations: int,
-                  cg_tol, lambda_up, lambda_down, cauchy_k, axis_name=None):
+                  cg_tol, lambda_up, lambda_down, cauchy_k, axis_name=None,
+                  precond: str = "tridiag"):
     """One damped Gauss-Newton step (linearize → PCG → accept test).
 
     Returns (poses1, lam1, cost1, done, cg_res).  ``done``: an accepted step
@@ -197,8 +293,8 @@ def _lm_step_body(g: GraphData, poses, lam, cost, cg_iterations: int,
     def hvp(v):
         return _maybe_psum(vjp_fn(jvp_fn(_free(v, g)))[0], axis_name) + lam * v
 
-    minv = _block_jacobi(poses, g, wb, wa, lam, axis_name)
-    delta, res = _pcg(hvp, b, minv, g, cg_iterations, cg_tol)
+    apply_prec = _make_preconditioner(poses, g, wb, wa, lam, axis_name, precond)
+    delta, res = _pcg(hvp, b, apply_prec, g, cg_iterations, cg_tol)
 
     cand = se3.retract(poses, _free(delta, g))
     new_cost = _cost_body(g, cand, cauchy_k, axis_name)
@@ -217,10 +313,11 @@ def _cost_body(g: GraphData, poses, cauchy_k, axis_name=None):
     return _maybe_psum(total_cost(rp, rb, ra, g, cauchy_k), axis_name)
 
 
-_lm_step_jit = partial(jax.jit, static_argnames=("cg_iterations",))(
+_lm_step_jit = partial(jax.jit, static_argnames=("cg_iterations", "precond"))(
     lambda g, poses, lam, cost, cg_iterations, cg_tol, lambda_up, lambda_down,
-    cauchy_k: _lm_step_body(g, poses, lam, cost, cg_iterations, cg_tol,
-                            lambda_up, lambda_down, cauchy_k))
+    cauchy_k, precond="tridiag": _lm_step_body(
+        g, poses, lam, cost, cg_iterations, cg_tol,
+        lambda_up, lambda_down, cauchy_k, precond=precond))
 _cost_jit = jax.jit(lambda g, poses, cauchy_k: _cost_body(g, poses, cauchy_k))
 
 
@@ -241,12 +338,28 @@ def solve(g: GraphData, cfg: SolverConfig = SolverConfig()) -> Tuple[jax.Array, 
     cost = c0
     res = jnp.asarray(0.0, poses.dtype)
     it = 0
+    prev_cost = float(c0)
+    stall = 0
     for it in range(1, cfg.max_outer_iterations + 1):
         poses, lam, cost, done, res = _lm_step_jit(
             g, poses, lam, cost, cfg.cg_iterations, cfg.cg_tol,
-            cfg.lambda_up, cfg.lambda_down, cfg.cauchy_k)
+            cfg.lambda_up, cfg.lambda_down, cfg.cauchy_k,
+            precond=cfg.preconditioner)
         if bool(done):
             break
+        # host-side stall exit: with near-exact (tridiag-preconditioned GN)
+        # steps the cost hits its f32 floor within a few iterations and LM
+        # then only pumps lambda toward the trust-region-collapse exit —
+        # ~14 wasted steps measured on the bench graph.  Three consecutive
+        # non-improving steps end the solve at the same solution.
+        c = float(cost)
+        if (prev_cost - c) <= 1e-7 * max(prev_cost, 1e-20):
+            stall += 1
+            if stall >= 3:
+                break
+        else:
+            stall = 0
+        prev_cost = c
     return poses, SolveInfo(c0, cost, jnp.asarray(it), res)
 
 
@@ -275,11 +388,12 @@ def marginal_covariance(
     def hvp(v):
         return vjp_fn(jvp_fn(_free(v, g)))[0] + damping * v
 
-    minv = _block_jacobi(poses, g, wb, wa, jnp.asarray(damping, poses.dtype))
+    apply_prec = _make_preconditioner(
+        poses, g, wb, wa, jnp.asarray(damping, poses.dtype), None, "tridiag")
 
     def solve_one(v_idx, k):
         e = jnp.zeros((g.num_vars, 6), poses.dtype).at[v_idx, k].set(1.0)
-        x, _ = _pcg(hvp, e, minv, g, cg_iterations, 1e-8)
+        x, _ = _pcg(hvp, e, apply_prec, g, cg_iterations, 1e-8)
         return x[v_idx]                           # (6,) column of Σ at var v
 
     cols = jax.vmap(

@@ -44,6 +44,55 @@ class ICPResult(NamedTuple):
     criterion: jax.Array    # int32 CRIT_* — which criterion ended the loop
 
 
+def _cofactor(X: jax.Array) -> jax.Array:
+    """Cofactor matrix of a 3x3: rows are cross products of X's other rows,
+    so ``X^{-T} = cof(X) / det(X)`` with no elimination step."""
+    return jnp.stack([
+        jnp.cross(X[1], X[2]),
+        jnp.cross(X[2], X[0]),
+        jnp.cross(X[0], X[1]),
+    ])
+
+
+def _opt_rotation(H: jax.Array) -> jax.Array:
+    """Optimal rotation of the Umeyama problem from ``H = Σ w·src·dstᵀ``.
+
+    The textbook route (SVD of H, ``R = V·diag(1,1,±1)·Uᵀ``) is numerically
+    wrong on TPU: XLA's f32 3x3 SVD returns factors with ~2e-3 orthonormality
+    error (measured — trace(RᵀR) off by 4e-3), so every ICP iteration
+    injected milliradian-scale spurious rotation, which at 50-100 m lever
+    arms moves points centimetres: correspondences never settled and every
+    pair ran to the 100-iteration PCL cap (rounds 2-3 bench).
+
+    Instead: R = the orthogonal polar factor of Hᵀ (equal to V·Uᵀ exactly),
+    by Higham's determinantally-scaled Newton iteration
+    ``X ← (γX + (γX)^{-T})/2``, ``γ = |det X|^{-1/3}`` — quadratically
+    convergent, f32-exact (orthonormality ~1e-7 measured up to cond 5e6),
+    and 3x3-cofactor cheap next to the NN matmul.  The SVD path survives
+    only as the reflection/rank-deficient fallback (det(H) ≤ 0), where the
+    polar factor would be improper — unreachable for real correspondence
+    sets, kept for total safety."""
+    A = H.T
+    nf = jnp.sqrt(jnp.sum(A * A))
+    X0 = A / jnp.maximum(nf, 1e-30)
+    det0 = jnp.sum(X0[0] * jnp.cross(X0[1], X0[2]))
+
+    def body(X, _):
+        det = jnp.sum(X[0] * jnp.cross(X[1], X[2]))
+        safe = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+        XinvT = _cofactor(X) / safe
+        g = jnp.abs(safe) ** (-1.0 / 3.0)
+        return 0.5 * (g * X + XinvT / g), None
+
+    R_polar, _ = jax.lax.scan(body, X0, None, length=9)
+
+    U, _, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], H.dtype)).at[2, 2].set(d)
+    R_svd = Vt.T @ D @ U.T
+    return jnp.where(det0 > 1e-12, R_polar, R_svd)
+
+
 def _umeyama_rigid(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
     """Weighted least-squares rigid transform dst ≈ R @ src + t (4x4)."""
     wsum = jnp.maximum(jnp.sum(w), 1e-12)
@@ -53,13 +102,10 @@ def _umeyama_rigid(src: jax.Array, dst: jax.Array, w: jax.Array) -> jax.Array:
     src_c = src - cs
     dst_c = dst - cd
     # HIGHEST: the default TPU f32 matmul truncates to bf16 — a 0.4%
-    # error on the cross-covariance skews the SVD rotation estimate
+    # error on the cross-covariance skews the rotation estimate
     H = jnp.matmul((src_c * ws).T, dst_c,
                    precision=jax.lax.Precision.HIGHEST)  # (3, 3)
-    U, _, Vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
-    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], H.dtype)).at[2, 2].set(d)
-    R = Vt.T @ D @ U.T
+    R = _opt_rotation(H)
     t = cd - R @ cs
     return se3.from_rot_trans(R, t)
 

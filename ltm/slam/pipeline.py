@@ -118,8 +118,17 @@ class LTSlam:
                             "capacity to %d", n_cap, n_max, auto)
                 n_cap = auto
             self.nodes_cap = n_cap
+            # shared scan capacity: auto = full density (pow-2 bucket of the
+            # largest scan anywhere), one compile shape across sessions
+            from ltm.slam.session import auto_scan_capacity
+
+            s_cap = cfg.scan_capacity
+            if s_cap is None:
+                s_cap = auto_scan_capacity(session_data)
+                log.info("scan_capacity auto-sized to %d (largest scan, pow-2)", s_cap)
             self.sessions = [
-                SlamSession.from_session_data(d, cfg, is_base=(i == 0), n_cap=n_cap)
+                SlamSession.from_session_data(d, cfg, is_base=(i == 0),
+                                              n_cap=n_cap, s_cap=s_cap)
                 for i, d in enumerate(session_data)
             ]
         self.n_sessions = len(self.sessions)
@@ -411,11 +420,17 @@ class LTSlam:
                 for (tgt, src) in pairs
             ]
         # ICP init from the SC yaw estimate (an improvement over the
-        # reference's identity init, "TODO icp align with initial" LTslam.cpp:220)
-        inits = np.stack([
-            np.asarray(se3.from_rpy(0.0, 0.0, -sc_yaws[src], dtype=jnp.float32))
-            for (_, src) in pairs
-        ])
+        # reference's identity init, "TODO icp align with initial"
+        # LTslam.cpp:220).  Pure-NumPy batch: per-pair device calls here cost
+        # a full host<->device round trip each (measured ~35 s over 489 pairs
+        # on a tunnel-attached chip).
+        yaws = np.asarray([-sc_yaws[src] for (_, src) in pairs], np.float32)
+        c, s = np.cos(yaws), np.sin(yaws)
+        inits = np.tile(np.eye(4, dtype=np.float32), (len(pairs), 1, 1))
+        inits[:, 0, 0] = c
+        inits[:, 0, 1] = -s
+        inits[:, 1, 0] = s
+        inits[:, 1, 1] = c
         with stage_timer("ltslam.sc_loops.icp", log):
             results = self._run_icp_batches(data, inits)
 

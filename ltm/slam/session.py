@@ -32,7 +32,14 @@ from ltm.utils import get_logger
 log = get_logger("ltm.slam.session")
 from ltm.kernels.voxel import voxel_downsample_representative
 
-__all__ = ["SlamSession", "assemble_submap"]
+__all__ = ["SlamSession", "assemble_submap", "auto_scan_capacity"]
+
+
+def auto_scan_capacity(session_data) -> int:
+    """Pow-2 bucket of the largest scan across sessions (min 512)."""
+    s_max = max((len(s) for d in session_data for s in d.scans[: d.num_nodes]),
+                default=1)
+    return 1 << max(9, (max(s_max, 1) - 1).bit_length())
 
 
 @dataclass
@@ -51,7 +58,8 @@ class SlamSession:
 
     @classmethod
     def from_session_data(cls, data: SessionData, cfg: LTSlamConfig, is_base: bool,
-                          n_cap: int | None = None) -> "SlamSession":
+                          n_cap: int | None = None,
+                          s_cap: int | None = None) -> "SlamSession":
         n = data.num_nodes
         if n_cap is None:
             # auto: pow-2 bucket; an explicit too-small cap escalates with a
@@ -62,7 +70,16 @@ class SlamSession:
                 log.warning("session %s: max_nodes_per_session=%d < %d nodes — "
                             "escalating capacity to %d", data.name, n_cap, n, n_auto)
                 n_cap = n_auto
-        s_cap = cfg.scan_capacity
+        if s_cap is None:
+            s_cap = cfg.scan_capacity
+        if s_cap is None:
+            # auto: pow-2 bucket of the largest scan — full density, no
+            # silent truncation (reference loads full clouds,
+            # ltslam/src/Session.cpp:145-179); an EXPLICIT cfg.scan_capacity
+            # keeps the warn+stride-subsample behavior as a chosen operating
+            # point.  Multi-session drivers pass a shared s_cap so all
+            # sessions compile to one shape.
+            s_cap = auto_scan_capacity([data])
 
         xyz = np.zeros((n_cap, s_cap, 3), np.float32)
         msk = np.zeros((n_cap, s_cap), bool)

@@ -135,3 +135,34 @@ def test_marginal_covariance_matches_dense():
     Sig_all = np.asarray(marginal_covariance(g, poses, jnp.asarray([1, 2, 3, 4])))
     traces = [np.trace(Sig_all[i]) for i in range(4)]
     assert traces[0] < traces[1] < traces[2] < traces[3]
+
+
+def test_tridiag_preconditioner_matches_dense():
+    """Block-Thomas factorization + apply solves M x = r exactly for a
+    random SPD block-tridiagonal M (dense NumPy oracle)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ltm.graph.solver import _tridiag_factor, _tridiag_apply
+
+    rng = np.random.default_rng(3)
+    V = 9
+    # SPD block-tridiagonal: assemble from random chain factors A_i coupling
+    # (i-1, i) plus diagonal regularization (same construction as the
+    # preconditioner: a sum of J^T J terms)
+    M = np.zeros((6 * V, 6 * V))
+    for i in range(1, V):
+        J = rng.normal(size=(6, 12))
+        idx = slice(6 * (i - 1), 6 * (i + 1))
+        M[idx, idx] += J.T @ J
+    M += np.kron(np.eye(V), np.eye(6)) * 0.5
+    D = np.stack([M[6 * i: 6 * i + 6, 6 * i: 6 * i + 6] for i in range(V)])
+    L = np.zeros((V, 6, 6))
+    for i in range(1, V):
+        L[i] = M[6 * i: 6 * i + 6, 6 * (i - 1): 6 * i]
+    r = rng.normal(size=(V, 6))
+
+    Cinv = _tridiag_factor(jnp.asarray(D, jnp.float32), jnp.asarray(L, jnp.float32))
+    x = np.asarray(_tridiag_apply(Cinv, jnp.asarray(L, jnp.float32),
+                                  jnp.asarray(r, jnp.float32)))
+    x_ref = np.linalg.solve(M, r.reshape(-1)).reshape(V, 6)
+    np.testing.assert_allclose(x, x_ref, rtol=2e-4, atol=2e-4)
