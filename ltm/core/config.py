@@ -29,6 +29,7 @@ class ScanContextConfig:
     search_ratio: float = 0.1          # ±10% column-shift window around sector-key argmin
     dist_threshold: float = 0.3        # SC_DIST_THRES
     num_candidates: int = 3            # NUM_CANDIDATES_FROM_TREE
+    num_exclude_recent: int = 30       # NUM_EXCLUDE_RECENT (intra-session)
     full_shift_search: bool = False    # True: search all shifts (superset of ref pruning)
 
 
@@ -108,6 +109,12 @@ class LTSlamConfig:
     num_rs_loops_upper_bound: int = 0
     rs_ball_radius: float = 10.0                # hard-coded 10.0 (``LTslam.cpp:471``)
     pairwise_session_loops: bool = False        # N-session: also close loops between non-base pairs
+    # detect intra-session SC loops (``SCManager::detectLoopClosureID``,
+    # ``ltslam/src/Scancontext.cpp:327-418``) + ICP for sessions whose g2o
+    # carries no loop edges, before anchoring — the reference assumes the
+    # single-session SLAM already closed its own loops; this flag covers
+    # odometry-only inputs
+    use_intra_session_loops: bool = False
 
     # noise variances, tangent order [w, w, w, v, v, v] (``LTslam.cpp:100-133``)
     # prior_variances are realized as gauge-frozen variables (1e-12 variance

@@ -104,17 +104,26 @@ def lifelong_update(sessions: List[RemovertInput], cfg: Optional[RemovertConfig]
     fov = (cfg.vfov, cfg.hfov)
     live = sessions[0]
     out = LifelongResult(live_map=np.zeros((0, 3)))
+    if cfg.map_capacity is None and len(sessions) >= 2:
+        # lock the map capacity BEFORE round 1 from a cheap host-side voxel
+        # count of the first two sessions (what prep computes anyway), with
+        # 2x headroom for PD/ND drift down the chain — one compile set serves
+        # every round (the old post-round-1 lock paid a second full compile
+        # set mid-chain: 591 s measured on the 6-session bench, PERF.md).
+        # A later session that outgrows it still escalates with a warning.
+        from ltm.removert.session import estimate_map_voxel_count
+
+        with stage_timer("lifelong.capacity_estimate", log):
+            n_max = max(estimate_map_voxel_count(s, cfg) for s in sessions[:2])
+        bucket = 1 << max(12, (max(n_max, 1) - 1).bit_length())
+        cfg.map_capacity = max(4096, 2 * bucket)
+        log.info("lifelong: map capacity locked at %d (est. %d voxels)",
+                 cfg.map_capacity, n_max)
     rm = Removerter(cfg)
-    lock_capacity = cfg.map_capacity is None
     for i, query in enumerate(sessions[1:], start=2):
         with stage_timer(f"lifelong.round_{i}", log):
             rd = os.path.join(save_directory, f"round_{i:02d}") if save_directory else None
             res = rm.run(live, query, save_directory=rd)
-        if lock_capacity:
-            n_max = max(res.central.map_xyz.shape[0], res.query.map_xyz.shape[0])
-            cfg.map_capacity = max(4096, 2 * n_max)  # n_max is already pow-2
-            lock_capacity = False
-            log.info("lifelong: map capacity locked at %d", cfg.map_capacity)
         out.rounds.append(res)
         stats = {
             "round": i,

@@ -94,6 +94,30 @@ def _preclean(scan: np.ndarray, radius: float, z_band: float) -> np.ndarray:
     return scan[~drop]
 
 
+def estimate_map_voxel_count(inp, cfg, keyframe_indices=None) -> int:
+    """Host-side estimate of a session's merged-map voxel count (the number
+    ``build``'s ``_merge_global`` reports) WITHOUT building the session:
+    preclean + per-scan voxel downsample + global voxel cell count.  The
+    lifelong driver uses it to lock ``map_capacity`` BEFORE round 1 so the
+    whole chain compiles exactly one program set (the post-round-1 lock paid
+    a second full compile set mid-chain — 591 s measured on the 6-session
+    bench, PERF.md)."""
+    v = cfg.downsample_voxel_size
+    lidar2base = np.asarray(cfg.extrinsic_lidar_to_base, np.float64).reshape(4, 4)
+    kf = range(len(inp.scans)) if keyframe_indices is None else keyframe_indices
+    ids = []
+    for i in kf:
+        s = _preclean(np.asarray(inp.scans[i], np.float32),
+                      cfg.preclean_radius, cfg.preclean_z_band)
+        pts = _voxel_downsample_host(s[:, :3], v)
+        T = np.asarray(inp.poses[i], np.float64) @ lidar2base
+        g = pts @ T[:3, :3].T + T[:3, 3]
+        ids.append(np.floor(g / v).astype(np.int64))
+    if not ids:
+        return 0
+    return len(np.unique(np.concatenate(ids), axis=0))
+
+
 def _voxel_downsample_host(xyz: np.ndarray, voxel: float) -> np.ndarray:
     """Per-scan load-time voxel downsample (``loadKeyframes`` VoxelGrid,
     ``Session.cpp:283-289``).  Native C++ grid when available, NumPy fallback

@@ -132,6 +132,16 @@ class LTSlam:
                 for i, d in enumerate(session_data)
             ]
         self.n_sessions = len(self.sessions)
+        self.diag = {}
+        n_intra = 0
+        if cfg.use_intra_session_loops:
+            with stage_timer("ltslam.intra_loops", log):
+                for s_idx, sess in enumerate(self.sessions):
+                    ef, et, _ = sess.edges
+                    has_loops = any(abs(int(et[k]) - int(ef[k])) != 1
+                                    for k in range(len(ef)))
+                    if not has_loops:
+                        n_intra += self._add_intra_session_loops(s_idx)
         self._init_graph()
 
         with stage_timer("ltslam.optimize.initial", log):
@@ -195,7 +205,7 @@ class LTSlam:
         self.betweens: List = []
         self.anchored: List = []
         self.anchors = [np.eye(4) for _ in range(self.n_sessions)]
-        self.diag: Dict = {}
+        self.diag: Dict = getattr(self, "diag", {})
 
         for s_idx, sess in enumerate(self.sessions):
             n = sess.num_nodes
@@ -409,6 +419,72 @@ class LTSlam:
                      len(it), it.min(), int(np.median(it)), int(np.percentile(it, 90)), it.max())
         return results
 
+    @staticmethod
+    def _yaw_inits(pairs, yaws_by_src) -> np.ndarray:
+        """ICP inits from the SC yaw estimates (an improvement over the
+        reference's identity init, "TODO icp align with initial"
+        LTslam.cpp:220).  Pure-NumPy batch: per-pair device calls here cost
+        a full host<->device round trip each (measured ~35 s over 489 pairs
+        on a tunnel-attached chip)."""
+        yaws = np.asarray([-yaws_by_src[src] for (_, src) in pairs], np.float32)
+        c, s = np.cos(yaws), np.sin(yaws)
+        inits = np.tile(np.eye(4, dtype=np.float32), (len(pairs), 1, 1))
+        inits[:, 0, 0] = c
+        inits[:, 0, 1] = -s
+        inits[:, 1, 0] = s
+        inits[:, 1, 1] = c
+        return inits
+
+    def _add_intra_session_loops(self, s_idx: int) -> int:
+        """SC loop closure WITHIN one session (``detectLoopClosureID``,
+        ``ltslam/src/Scancontext.cpp:327-418``): ring-key candidates at least
+        ``num_exclude_recent`` nodes older, shift-cosine threshold, ICP
+        verification against the ±search submap in session-local coords, then
+        a robust between factor (same g2o loop-edge form the reference
+        expects its single-session inputs to carry)."""
+        cfg = self.cfg
+        sess = self.sessions[s_idx]
+        sc = cfg.scan_context
+        loop_idx, _, yaw = sc_retrieval.detect_loops_intra_session(
+            sess.descriptors, sess.node_valid,
+            dist_threshold=sc.dist_threshold,
+            num_exclude_recent=sc.num_exclude_recent,
+            num_candidates=sc.num_candidates,
+            full_shift_search=sc.full_shift_search,
+            search_ratio=sc.search_ratio,
+        )
+        loop_idx = np.asarray(loop_idx)
+        yaw = np.asarray(yaw)
+        pairs = [(int(loop_idx[s]), s) for s in range(sess.num_nodes) if loop_idx[s] >= 0]
+        log.info("intra-session SC %s: %d candidate loops", sess.name, len(pairs))
+        if not pairs:
+            return 0
+        pairs = self._equisample(pairs, cfg.num_sc_loops_upper_bound)
+        data = [
+            self._prepare_icp_pair(s_idx, src, s_idx, tgt, central_coords=False)
+            for (tgt, src) in pairs
+        ]
+        yaws = {s: float(yaw[s]) for s in range(sess.num_nodes)}
+        results = self._run_icp_batches(data, self._yaw_inits(pairs, yaws))
+
+        ef, et, er = sess.edges
+        new_f, new_t = list(np.asarray(ef)), list(np.asarray(et))
+        new_r = [np.asarray(r) for r in er]
+        added = 0
+        for (tgt, src), (T_icp, fitness, conv) in zip(pairs, results):
+            if fitness < cfg.loop_fitness_score_threshold and \
+                    (conv or not cfg.icp.require_converged):
+                # g2o loop-edge convention: measured = T_tgt^-1 T_src, keyed
+                # (tgt, src) — exactly what ICP estimated in the tgt frame
+                new_f.append(tgt)
+                new_t.append(src)
+                new_r.append(np.asarray(T_icp, np.float64))
+                added += 1
+        sess.edges = (np.asarray(new_f, np.int32), np.asarray(new_t, np.int32), new_r)
+        log.info("intra-session SC %s: %d/%d loops passed ICP", sess.name, added, len(pairs))
+        self.diag[f"intra_loops_added_{sess.name}"] = added
+        return added
+
     def _add_sc_loops(self, source_idx: int, sc_pairs, sc_yaws, target_idx: int = 0) -> int:
         cfg = self.cfg
         pairs = self._equisample(sc_pairs, cfg.num_sc_loops_upper_bound)
@@ -419,18 +495,7 @@ class LTSlam:
                 self._prepare_icp_pair(source_idx, src, target_idx, tgt, central_coords=False)
                 for (tgt, src) in pairs
             ]
-        # ICP init from the SC yaw estimate (an improvement over the
-        # reference's identity init, "TODO icp align with initial"
-        # LTslam.cpp:220).  Pure-NumPy batch: per-pair device calls here cost
-        # a full host<->device round trip each (measured ~35 s over 489 pairs
-        # on a tunnel-attached chip).
-        yaws = np.asarray([-sc_yaws[src] for (_, src) in pairs], np.float32)
-        c, s = np.cos(yaws), np.sin(yaws)
-        inits = np.tile(np.eye(4, dtype=np.float32), (len(pairs), 1, 1))
-        inits[:, 0, 0] = c
-        inits[:, 0, 1] = -s
-        inits[:, 1, 0] = s
-        inits[:, 1, 1] = c
+        inits = self._yaw_inits(pairs, sc_yaws)
         with stage_timer("ltslam.sc_loops.icp", log):
             results = self._run_icp_batches(data, inits)
 

@@ -107,3 +107,46 @@ def test_require_converged_loop_set_parity(bundle, slam_result):
     assert res_off.num_rs_loops == result.num_rs_loops
     np.testing.assert_allclose(res_off.anchors["02"], result.anchors["02"],
                                rtol=1e-4, atol=5e-4)
+
+
+def test_intra_session_loops_from_odometry_only_g2o(bundle):
+    """use_intra_session_loops: a session whose g2o carries only odometry
+    edges (no loop closures) gets intra-session SC+ICP loops before
+    anchoring (Scancontext.cpp:327-418), and the final alignment matches the
+    loop-edge-equipped run's quality."""
+    import dataclasses
+
+    def strip_loops(data):
+        ef, et, er = data.edges
+        keep = [k for k in range(len(ef)) if abs(int(et[k]) - int(ef[k])) == 1]
+        return dataclasses.replace(
+            data, edges=(np.asarray([ef[k] for k in keep], np.int32),
+                         np.asarray([et[k] for k in keep], np.int32),
+                         [er[k] for k in keep]))
+
+    cfg = LTSlamConfig()
+    cfg.max_nodes_per_session = 32
+    cfg.scan_capacity = 6144
+    cfg.icp.history_search_num = 5
+    cfg.icp.source_capacity = 2048
+    cfg.icp.target_capacity = 8192
+    cfg.num_sc_loops_upper_bound = 12
+    cfg.loop_fitness_score_threshold = 0.7
+    cfg.icp.update_trim_distance = 2.0
+    cfg.use_intra_session_loops = True
+    cfg.scan_context.num_exclude_recent = 8   # 24-node sessions
+    # the 24-kf loop has exactly one true revisit pair (start/end) whose SC
+    # distance sits at 0.39 at this scan density; the ICP fitness gate
+    # rejects false candidates, so a looser retrieval threshold is safe
+    cfg.scan_context.dist_threshold = 0.45
+
+    central = strip_loops(bundle["central"].data)
+    query = strip_loops(bundle["query"].data)
+    result = LTSlam(cfg).run(central, query)
+
+    n_intra = sum(v for k, v in result.diagnostics.items()
+                  if k.startswith("intra_loops_added"))
+    assert n_intra >= 1, result.diagnostics
+    err = ate(np.asarray(result.central_poses["02"]),
+              np.asarray(bundle["query"].site_poses))
+    assert np.sqrt((err ** 2).mean()) < 0.35, err
