@@ -583,7 +583,7 @@ class Removerter:
         ``Removerter.cpp:1395-1411``; reversed diff for ND per ``:516``)."""
         cfg = self.cfg
         shape = rimg_shape(fov, cfg.nd_pd_filter_resolution)
-        cur = cand
+        cur = cand                       # ALWAYS original map index space
         weak = jnp.zeros_like(cand)
         use_blocks = sess.bm is not None and source.bm is not None
         Ks = source.num_keyframes  # padded poses are identity (phantom origin view)
@@ -595,6 +595,10 @@ class Removerter:
         imgs = self._img_cache[id(source)]
         dbm = d_slots = None
         sel_idx = sel_valid = None
+        kb_eff = mr_t = None
+        built_n = 0
+        n_cur = int(cand.sum())
+        repeat_counts = [n_cur]
         if use_blocks:
             # target side: a flagged point's range is bounded by the largest
             # source image pixel (≤ source vis bound), plus
@@ -605,28 +609,35 @@ class Removerter:
 
             bound_t = self._vis_bound(source) + (VALID_DIFF_UB if reverse else 0.0)
             _, mr_t = self._kb(sess.bm, bound_t)
-            # the candidate (delta) set is typically a small fraction of the
+            bcap = sess.bm.block_capacity
+
+            # The candidate (delta) set is typically a small fraction of the
             # map, and the map's block layout pads it further (delta points
             # share blocks with non-delta ones) — so re-block JUST the delta
             # set into a tight layout: same points, same images, identical
             # per-pixel winner semantics (winners are computed within the
-            # delta set either way), but every sweep now touches only
-            # delta-packed blocks (one sort + two N-sized gathers amortized
-            # over 2x3 repeat sweeps x K keyframes)
-            bcap = sess.bm.block_capacity
-            n_del = int(cand.sum())
-            if n_del:
+            # masked set either way, whatever its grouping), but every sweep
+            # touches only delta-packed blocks.  Because the repeats only
+            # SHRINK the candidate set (weak points leave, nothing enters),
+            # the build is re-run between repeats whenever the survivor
+            # count halves — later sweeps then touch a pow-2-smaller layout
+            # (one ~ms sort + two N-sized gathers per rebuild, amortized
+            # over K keyframe sweeps).
+            def _build_delta(mask_orig, n_del):
                 need = max((n_del * 5 + 4 * bcap - 1) // (4 * bcap), 1)
                 nb_d = 1 << (need - 1).bit_length()
-                dbm, ov, d_slots = build_block_map_with_slots(
-                    sess.map_xyz, cand, cfg.block_cell_size, nb_d, bcap)
+                dbm_, ov, slots = build_block_map_with_slots(
+                    sess.map_xyz, mask_orig, cfg.block_cell_size, nb_d, bcap)
                 if int(ov):
-                    dbm = d_slots = None   # degenerate extents: map layout
+                    return None, None   # degenerate extents: map layout
+                return dbm_, slots
+
+            if n_cur:
+                dbm, d_slots = _build_delta(cand, n_cur)
+                built_n = n_cur
             if dbm is not None:
                 kb_eff = required_k_blocks(
                     dbm, self._origins, float(np.ceil(mr_t / 25.0) * 25.0))
-                cur = dbm.flat_mask()
-                weak = jnp.zeros_like(cur)
             else:
                 kb_t, _ = self._kb(sess.bm, bound_t)
                 nb = sess.bm.num_blocks
@@ -660,7 +671,29 @@ class Removerter:
                 else:
                     sel_idx = jnp.asarray(sel_idx)
                     sel_valid = jnp.asarray(sel_valid)
-        for _ in range(cfg.nd_pd_filter_repeats):
+        # counting survivors per repeat costs one small host sync each (a few
+        # tunnel round-trips total) but enables the pow-2 shrink rebuilds and
+        # the empty-set early exit; the mesh path keeps the sync-free fixed
+        # loop (rebuilding a sharded layout per repeat is not worth it there)
+        count_repeats = use_blocks and self.mesh is None
+        for r in range(cfg.nd_pd_filter_repeats):
+            if count_repeats and n_cur == 0:
+                break   # nothing left to re-check (flagged ⊆ cur always)
+            if (count_repeats and dbm is not None and sel_idx is None
+                    and r > 0 and n_cur * 2 <= built_n):
+                new_dbm, new_slots = _build_delta(cur, n_cur)
+                if new_dbm is not None:
+                    dbm, d_slots = new_dbm, new_slots
+                    built_n = n_cur
+                    kb_eff = required_k_blocks(
+                        dbm, self._origins, float(np.ceil(mr_t / 25.0) * 25.0))
+            if use_blocks and dbm is not None:
+                # layout-space mask of the CURRENT survivors (d_slots: orig
+                # index -> flat delta slot, sentinel = one past the end, so
+                # mode='drop' ignores non-delta points)
+                n_flat = dbm.num_blocks * dbm.block_capacity
+                cur_l = jnp.zeros((n_flat,), bool).at[d_slots].set(
+                    cur, mode="drop")
             if use_blocks and sel_idx is not None:
                 from ltm.kernels.blocks import (
                     block_sweep_discrepancy_vs_images_presel,
@@ -668,7 +701,8 @@ class Removerter:
 
                 bm_eff = dbm if dbm is not None else sess.bm
                 flagged = block_sweep_discrepancy_vs_images_presel(
-                    bm_eff, cur, imgs, source.poses_inv[:Ks],
+                    bm_eff, cur_l if dbm is not None else cur, imgs,
+                    source.poses_inv[:Ks],
                     sel_idx, sel_valid, fov, shape,
                     diff_threshold=cfg.diff_threshold, reverse=reverse,
                 )
@@ -680,7 +714,8 @@ class Removerter:
                     )
 
                     flagged = block_sweep_discrepancy_vs_images_sharded(
-                        self.mesh, bm_eff, cur, imgs,
+                        self.mesh, bm_eff, cur_l if dbm is not None else cur,
+                        imgs,
                         source.poses_inv[:Ks], source.poses[:Ks],
                         fov, shape, k_blocks=kb_eff,
                         max_range=mr_t,
@@ -688,7 +723,8 @@ class Removerter:
                     )
                 else:
                     flagged = block_sweep_discrepancy_vs_images(
-                        bm_eff, cur, imgs, source.poses_inv[:Ks], source.poses[:Ks],
+                        bm_eff, cur_l if dbm is not None else cur, imgs,
+                        source.poses_inv[:Ks], source.poses[:Ks],
                         fov, shape, k_blocks=kb_eff,
                         max_range=mr_t,
                         diff_threshold=cfg.diff_threshold, reverse=reverse,
@@ -705,16 +741,19 @@ class Removerter:
                     sess.map_xyz, cur, imgs, source.poses_inv[:Ks],
                     fov, shape, cfg.diff_threshold, reverse,
                 )
+            if use_blocks and dbm is not None:
+                # back to original map indices (a False pad row absorbs the
+                # sentinel slot)
+                flagged = cur & jnp.concatenate(
+                    [flagged, jnp.zeros((1,), bool)])[d_slots]
             weak = weak | flagged
             cur = cur & ~flagged
-        if dbm is not None:
-            # map the delta-layout verdicts back to original map indices
-            # (d_slots: orig index -> flat delta slot, sentinel = not in the
-            # delta set; a False pad row absorbs the sentinel)
-            pad_cur = jnp.concatenate([cur, jnp.zeros((1,), bool)])
-            pad_weak = jnp.concatenate([weak, jnp.zeros((1,), bool)])
-            cur = cand & pad_cur[d_slots]
-            weak = cand & pad_weak[d_slots]
+            if count_repeats:
+                n_cur = int(cur.sum())
+                repeat_counts.append(n_cur)
+        if count_repeats:
+            log.info("filter_strong %s %s: candidates per repeat %s",
+                     sess.sess_type, "ND" if reverse else "PD", repeat_counts)
         return cur, weak
 
     def _knn_stat(self, query_xyz, query_mask, target_xyz, target_mask,

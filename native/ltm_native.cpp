@@ -192,41 +192,73 @@ long ltm_read_poses(const char* path, double* out, long capacity) {
 // Host voxel-centroid downsample (octreeDownsampling equivalent)
 // ---------------------------------------------------------------------------
 
-struct VKey { int64_t x, y, z; };
-struct VKeyHash {
-    size_t operator()(const VKey& k) const {
-        uint64_t h = (uint64_t)k.x * 73856093ull ^ (uint64_t)k.y * 19349669ull ^ (uint64_t)k.z * 83492791ull;
-        return (size_t)h;
-    }
-};
-struct VKeyEq {
-    bool operator()(const VKey& a, const VKey& b) const {
-        return a.x == b.x && a.y == b.y && a.z == b.z;
-    }
+// Open-addressing linear-probe slot, epoch-tagged so repeat calls on the
+// same thread skip re-zeroing the table.  The previous node-based
+// std::unordered_map paid one heap allocation per voxel (~350 ns/pt on the
+// session-prep thread pool — the dominant host prep cost at clutter-heavy
+// scans where nearly every point is its own voxel); a flat table with
+// 2x slots is allocation-free and cache-resident per scan.
+struct VoxSlot {
+    uint32_t epoch;
+    int32_t kx, ky, kz;
+    int32_t cnt;
+    double sx, sy, sz;
 };
 
 // Returns the number of voxels written (<= capacity), or -1 on overflow.
 long ltm_voxel_downsample(const float* xyz, long n, float voxel,
                           float* out, long capacity) {
-    std::unordered_map<VKey, std::pair<long, double[3]>, VKeyHash, VKeyEq> grid;
-    grid.reserve((size_t)n / 4 + 1);
-    const double inv = 1.0 / voxel;
-    for (long p = 0; p < n; p++) {
-        VKey k{(int64_t)std::floor(xyz[3 * p] * inv),
-               (int64_t)std::floor(xyz[3 * p + 1] * inv),
-               (int64_t)std::floor(xyz[3 * p + 2] * inv)};
-        auto& e = grid[k];
-        e.first += 1;
-        e.second[0] += xyz[3 * p];
-        e.second[1] += xyz[3 * p + 1];
-        e.second[2] += xyz[3 * p + 2];
+    static thread_local std::vector<VoxSlot> table;
+    static thread_local uint32_t epoch = 0;
+    size_t want = 64;
+    while (want < (size_t)n * 2) want <<= 1;
+    if (table.size() < want) {
+        table.assign(want, VoxSlot{});
+        epoch = 0;
     }
-    if ((long)grid.size() > capacity) return -1;
+    if (++epoch == 0) {  // uint32 wrap: stale tags could alias, re-zero
+        std::fill(table.begin(), table.end(), VoxSlot{});
+        epoch = 1;
+    }
+    const size_t mask = table.size() - 1;
+    const double inv = 1.0 / voxel;
+    long nvox = 0;
+    for (long p = 0; p < n; p++) {
+        // identical binning expression to the previous implementation
+        // (float coord promoted to double, floor, truncating cast)
+        int32_t kx = (int32_t)(int64_t)std::floor(xyz[3 * p] * inv);
+        int32_t ky = (int32_t)(int64_t)std::floor(xyz[3 * p + 1] * inv);
+        int32_t kz = (int32_t)(int64_t)std::floor(xyz[3 * p + 2] * inv);
+        uint64_t h = (uint64_t)(uint32_t)kx * 0x9E3779B97F4A7C15ull
+                   ^ (uint64_t)(uint32_t)ky * 0xC2B2AE3D27D4EB4Full
+                   ^ (uint64_t)(uint32_t)kz * 0x165667B19E3779F9ull;
+        h ^= h >> 29;
+        size_t i = (size_t)h & mask;
+        for (;;) {
+            VoxSlot& s = table[i];
+            if (s.epoch != epoch) {  // free slot this call: claim it
+                s.epoch = epoch;
+                s.kx = kx; s.ky = ky; s.kz = kz;
+                s.cnt = 0; s.sx = 0.0; s.sy = 0.0; s.sz = 0.0;
+                nvox++;
+            }
+            if (s.kx == kx && s.ky == ky && s.kz == kz) {
+                s.cnt += 1;
+                s.sx += xyz[3 * p];
+                s.sy += xyz[3 * p + 1];
+                s.sz += xyz[3 * p + 2];
+                break;
+            }
+            i = (i + 1) & mask;
+        }
+    }
+    if (nvox > capacity) return -1;
     long i = 0;
-    for (auto& kv : grid) {
-        out[3 * i] = (float)(kv.second.second[0] / kv.second.first);
-        out[3 * i + 1] = (float)(kv.second.second[1] / kv.second.first);
-        out[3 * i + 2] = (float)(kv.second.second[2] / kv.second.first);
+    for (const auto& s : table) {
+        if (s.epoch != epoch) continue;
+        out[3 * i] = (float)(s.sx / s.cnt);
+        out[3 * i + 1] = (float)(s.sy / s.cnt);
+        out[3 * i + 2] = (float)(s.sz / s.cnt);
         i++;
     }
     return i;
