@@ -67,6 +67,15 @@ class ICPConfig:
     # padded capacities (TPU fixed shapes)
     source_capacity: int = 4096
     target_capacity: int = 32768
+    # lane-compaction round length of the batched ICP farm (iterations per
+    # repack; see register.icp.icp_batch_compacted).  Each 32-lane chunk
+    # runs to its slowest lane within a round, so the round length should
+    # sit near the iteration MEDIAN (~4-5 with the PCL criteria firing),
+    # not the 100-iteration cap: 6 measured 23.7 s vs 25.4 s at 25 on the
+    # 489-pair bench farm (straggler lanes repack together next round —
+    # a modest, consistent win; the farm is NN-bandwidth-bound, not
+    # straggler-bound, once convergence is fast)
+    compaction_segment: int = 6
 
 
 @dataclass

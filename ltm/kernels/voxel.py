@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["voxel_coords", "voxel_downsample_centroid",
+           "voxel_downsample_representative_capped",
            "voxel_downsample_centroid_capped", "voxel_unique_mask"]
 
 _INT_SENTINEL = 2**31 - 1  # plain int: no backend init at import (pod workers)
@@ -31,10 +32,28 @@ def voxel_coords(xyz: jax.Array, voxel: float) -> jax.Array:
 
 
 def _sorted_groups(coords: jax.Array, mask: jax.Array):
-    """Sort points by voxel (invalid last); return order + group segment ids."""
+    """Sort points by voxel (invalid last); return order + group segment ids.
+
+    The (invalid, x, y, z) lexsort is packed into TWO int32 keys — a 4-key
+    lexsort is 4 stable sort passes and measured 2x the whole-kernel cost on
+    v5e (34 ms per 835k-row ICP submap union).  Coordinates rebase to the
+    valid minimum and clamp at 21/19/21 bits per axis (2M/0.5M/2M voxels —
+    210/52 km at 0.1 m voxels, far beyond any survey map); beyond that,
+    clamped outliers can split or merge groups at the boundary voxel (the
+    previous raw-coord sort had no such bound, but no pipeline input
+    approaches it — group identity is otherwise bit-identical)."""
     c = jnp.where(mask[:, None], coords, _INT_SENTINEL)
-    # lexsort: last key is primary
-    order = jnp.lexsort((c[:, 2], c[:, 1], c[:, 0], (~mask).astype(jnp.int32)))
+    cmin = jnp.min(jnp.where(mask[:, None], coords, _INT_SENTINEL), axis=0)
+    cr = jnp.clip(coords - cmin, 0, None)
+    x = jnp.minimum(cr[:, 0], (1 << 21) - 1)
+    y = jnp.minimum(cr[:, 1], (1 << 19) - 1)
+    z = jnp.minimum(cr[:, 2], (1 << 21) - 1)
+    # 61-bit [x:21|y:19|z:21] split as hi=[invalid:1|x:21|y_hi:9],
+    # lo=[y_lo:10|z:21] — both non-negative int32
+    key_hi = (jnp.where(mask, 0, jnp.int32(1 << 30))
+              | (x << 9) | (y >> 10))
+    key_lo = ((y & ((1 << 10) - 1)) << 21) | z
+    order = jnp.lexsort((key_lo, key_hi))
     cs = c[order]
     ms = mask[order]
     prev = jnp.roll(cs, 1, axis=0)
@@ -122,3 +141,44 @@ def voxel_downsample_representative(xyz: jax.Array, mask: jax.Array, voxel: floa
     out_xyz = xyz[order][:out_capacity]
     out_mask = keep[order][:out_capacity]
     return out_xyz, out_mask, jnp.sum(keep.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("out_capacity",))
+def voxel_downsample_representative_capped(xyz: jax.Array, mask: jax.Array,
+                                           voxel: float, out_capacity: int):
+    """Representative downsample with a spatially UNIFORM overflow cap.
+
+    Keeps REAL input points (one representative per voxel — no centroid
+    blur), and when more than ``out_capacity`` voxels are occupied, merges
+    adjacent voxels (in sorted-key order) uniformly — ``seg ->
+    floor(seg*cap/nvox)`` like :func:`voxel_downsample_centroid_capped` —
+    keeping the first sorted point of each merged group.  Under capacity
+    the kept SET is exactly :func:`voxel_downsample_representative`'s
+    (first point per voxel), emitted in voxel-sorted order.
+
+    This is the fixed-shape submap filter for ICP (see
+    ``slam.session.assemble_submap``): the centroid variant measured WORSE
+    there (overflow merges average 2+ adjacent-voxel points into phantom
+    mid-points; on the slam bench ICP medians went 5 -> 15 iterations and
+    ATE 0.053 -> 0.129 m), while an order-biased truncation covers only a
+    spatial prefix of the submap.  Cost: one key-sort + one segment_min +
+    one gather (the plain representative path pays three full sorts).
+    """
+    n = xyz.shape[0]
+    order, seg, ms, is_new = _sorted_groups(voxel_coords(xyz, voxel), mask)
+    xs = xyz[order]
+    num_voxels = jnp.sum(is_new.astype(jnp.int32))
+    nv = jnp.maximum(num_voxels, 1)
+    # same uniform-merge slot rule as centroid_capped (f32 ratio: seg*cap
+    # overflows int32 without x64 mode; all points of a voxel share seg)
+    ratio = jnp.float32(out_capacity) / nv.astype(jnp.float32)
+    slot = jnp.floor(seg.astype(jnp.float32) * ratio).astype(jnp.int32)
+    slot = jnp.minimum(slot, out_capacity - 1)
+    seg_u = jnp.where(num_voxels > out_capacity, slot, seg)
+    seg_u = jnp.minimum(jnp.where(ms, seg_u, out_capacity), out_capacity)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    first = jax.ops.segment_min(jnp.where(ms, idx, n), seg_u,
+                                num_segments=out_capacity + 1)
+    out_mask = first[:out_capacity] < n
+    out_xyz = xs[jnp.clip(first[:out_capacity], 0, n - 1)]
+    return out_xyz, out_mask, num_voxels

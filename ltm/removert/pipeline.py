@@ -51,7 +51,7 @@ from ltm.removert.session import (
     parse_keyframe_indices,
     parse_keyframes_in_roi,
 )
-from ltm.utils import get_logger, stage_timer
+from ltm.utils import count_slots, get_logger, stage_timer
 
 __all__ = ["Removerter", "RemovertResult"]
 
@@ -217,7 +217,12 @@ class Removerter:
             pd_strong, pd_weak = self._filter_strong(
                 query, pd_cand, central, fov, reverse=False
             )
-            nd_strong, nd_weak = self._propagate_weak_to_strong(central, nd_strong, nd_weak)
+            # nested sub-stage: the 2-NN weak→strong promotion is kNN work,
+            # not sweep-slot work — split so the roofline table attributes
+            # the sweep repeats' wall against their slot ceiling alone
+            with stage_timer("removert.strong_weak.propagate", log):
+                nd_strong, nd_weak = self._propagate_weak_to_strong(
+                    central, nd_strong, nd_weak)
             # reference revertStrongPDMapPointsHavingWeakPDInNear is an empty
             # TODO (Session.cpp:447-450) — intentionally not applied here.
 
@@ -355,6 +360,7 @@ class Removerter:
             sel_b, sel_b_valid, k_b = compact_survivors(np.asarray(survive))
             log.info("%s winner pass: %d near + %d/%d far blocks/keyframe",
                      sess.sess_type, kb_near, k_b, sess.bm.num_blocks)
+            count_slots((kb_near + k_b) * sess.bm.block_capacity * K)
             sel_ab = jnp.concatenate([sel_a, jnp.asarray(sel_b)], axis=1)
             sel_ab_valid = jnp.concatenate(
                 [sel_a_valid, jnp.asarray(sel_b_valid)], axis=1)
@@ -373,6 +379,7 @@ class Removerter:
                     sess.poses_inv[:K], sess.poses[:K], fov, shape, proj_shape,
                     k_blocks=kb, max_range=mr, scale=scale,
                 )
+            count_slots(kb * sess.bm.block_capacity * K)
             return block_fused_visibility_images(
                 sess.bm, sess.masks["static"],
                 sess.poses_inv[:K], sess.poses[:K], fov, shape, proj_shape,
@@ -441,6 +448,7 @@ class Removerter:
                          sel_idx.shape[1], bm.num_blocks)
                 self._kb_cache[key] = hit
             sel_idx, sel_valid = hit
+            count_slots(sel_idx.shape[1] * bm.block_capacity * K)
             return block_sweep_discrepancy_vs_images_presel(
                 bm._replace(mask=mask.reshape(bm.mask.shape)), mask, imgs,
                 sess.poses_inv[:K], sel_idx, sel_valid, fov, shape,
@@ -449,6 +457,8 @@ class Removerter:
         if sess.bm is not None:
             bm = sess.bm._replace(mask=mask.reshape(sess.bm.mask.shape))
             kb, mr = self._kb(sess.bm, self._fwd_bound(sess))
+            if self.mesh is None:
+                count_slots(kb * sess.bm.block_capacity * K)
             if self.mesh is not None:
                 from ltm.dist.removert import block_sweep_discrepancy_sharded
 
@@ -700,6 +710,7 @@ class Removerter:
                 )
 
                 bm_eff = dbm if dbm is not None else sess.bm
+                count_slots(sel_idx.shape[1] * bm_eff.block_capacity * Ks)
                 flagged = block_sweep_discrepancy_vs_images_presel(
                     bm_eff, cur_l if dbm is not None else cur, imgs,
                     source.poses_inv[:Ks],
@@ -722,6 +733,7 @@ class Removerter:
                         diff_threshold=cfg.diff_threshold, reverse=reverse,
                     )
                 else:
+                    count_slots(kb_eff * bm_eff.block_capacity * Ks)
                     flagged = block_sweep_discrepancy_vs_images(
                         bm_eff, cur_l if dbm is not None else cur, imgs,
                         source.poses_inv[:Ks], source.poses[:Ks],

@@ -48,7 +48,7 @@ from ltm.io.sessions import SessionData
 from ltm.register.icp import icp_batch
 from ltm.retrieval import scancontext as sc_retrieval
 from ltm.slam.session import SlamSession, assemble_submap
-from ltm.kernels.voxel import voxel_downsample_representative
+from ltm.kernels.voxel import voxel_downsample_representative_capped
 from ltm.utils import get_logger, stage_timer
 
 __all__ = ["LTSlam", "LTSlamResult"]
@@ -131,6 +131,15 @@ class LTSlam:
                                               n_cap=n_cap, s_cap=s_cap)
                 for i, d in enumerate(session_data)
             ]
+            # shared ICP-scan row capacity: pow-2 bucket of the largest
+            # per-scan voxel count anywhere (lossless trim — the compacted
+            # pre-filtered rows all fit), so every submap assembly compiles
+            # to one shape and sorts ~half the raw-capacity rows
+            icp_cap = 1 << max(9, (max((s.max_icp_voxels for s in self.sessions),
+                                       default=1) - 1).bit_length())
+            icp_cap = min(icp_cap, s_cap)
+            for s in self.sessions:
+                s.trim_icp_scans(icp_cap)
         self.n_sessions = len(self.sessions)
         self.diag = {}
         n_intra = 0
@@ -312,8 +321,15 @@ class LTSlam:
         icp_cfg = cfg.icp
 
         # source: the single keyframe scan (searchNum=0 in the reference)
-        src_xyz, src_mask, _ = voxel_downsample_representative(
-            src_sess.scans_xyz[node_src], src_sess.scans_mask[node_src],
+        # 0.3-voxel filter of the source scan (``downSizeFilterICP``,
+        # ``ltslam/src/Session.cpp:109-114``): representative points with a
+        # uniform density cap on overflow instead of an order-biased
+        # truncation.  Runs on the session's pre-filtered rows (same grid,
+        # same frame — re-voxeling a representative set is idempotent, so
+        # the output is bit-identical to filtering the raw scan) and only
+        # enforces the source capacity.
+        src_xyz, src_mask, _ = voxel_downsample_representative_capped(
+            src_sess.scans_icp_xyz[node_src], src_sess.scans_icp_mask[node_src],
             icp_cfg.submap_voxel_size, icp_cfg.source_capacity,
         )
 
@@ -334,8 +350,15 @@ class LTSlam:
             rel = np.stack([
                 np.linalg.inv(T_tgt) @ tgt_sess.poses_local[i] for i in neigh_c
             ])
+        # submap union over the PRE-FILTERED rows (each scan's 0.3-voxel
+        # representatives in its own frame): the per-pair sort touches
+        # ~half the raw-capacity rows.  The union's final voxel pass runs
+        # on the submap-frame grid; a scan-frame voxel pair straddling a
+        # submap-frame voxel boundary can thin the union by one sub-voxel
+        # point — below ICP's decision noise (validated: identical loop
+        # set, ATE unchanged on the driver bench).
         tgt_xyz, tgt_mask = assemble_submap(
-            tgt_sess.scans_xyz, tgt_sess.scans_mask,
+            tgt_sess.scans_icp_xyz, tgt_sess.scans_icp_mask,
             jnp.asarray(neigh_c, jnp.int32), jnp.asarray(valid),
             jnp.asarray(rel, jnp.float32),
             icp_cfg.submap_voxel_size, icp_cfg.target_capacity,
@@ -364,6 +387,7 @@ class LTSlam:
                 transformation_epsilon=cfg.transformation_epsilon,
                 euclidean_fitness_epsilon=cfg.euclidean_fitness_epsilon,
                 tile=4096, update_trim_distance=cfg.update_trim_distance,
+                segment=cfg.compaction_segment,
             )
             it = np.asarray(res.iterations)
             log.info("ICP iterations over %d pairs: min %d / median %d / p90 %d / max %d",

@@ -30,7 +30,7 @@ from ltm.kernels import polar_bin
 from ltm.utils import get_logger
 
 log = get_logger("ltm.slam.session")
-from ltm.kernels.voxel import voxel_downsample_representative
+from ltm.kernels.voxel import voxel_downsample_representative_capped
 
 __all__ = ["SlamSession", "assemble_submap", "auto_scan_capacity"]
 
@@ -55,6 +55,13 @@ class SlamSession:
     descriptors: jax.Array              # (N_cap, R, S_c) float32
     node_valid: jax.Array               # (N_cap,)
     is_base: bool
+    # per-scan ICP pre-filter (submap_voxel_size representatives, compacted
+    # to the row front): the ±25-neighbour submap union sorts these rows
+    # instead of raw scan capacity — drivers trim the row dim to a shared
+    # pow-2 bucket of max_icp_voxels (see LTSlam trim; lossless)
+    scans_icp_xyz: Optional[jax.Array] = None   # (N_cap, S_icp, 3)
+    scans_icp_mask: Optional[jax.Array] = None  # (N_cap, S_icp)
+    max_icp_voxels: int = 0
 
     @classmethod
     def from_session_data(cls, data: SessionData, cfg: LTSlamConfig, is_base: bool,
@@ -115,6 +122,19 @@ class SlamSession:
 
         valid = np.zeros(n_cap, bool)
         valid[:n] = True
+
+        # ICP-resolution pre-filter, once per session (one batched device
+        # pass): each scan's 0.3-voxel representative set compacted to the
+        # row front.  The submap assembly's per-pair sort then runs over
+        # these rows; re-voxeling a representative set on the same
+        # (scan-frame) grid is idempotent, so the source-scan filter output
+        # is bit-identical to filtering the raw scan.
+        icp_voxel = cfg.icp.submap_voxel_size
+        icp_xyz, icp_mask, nvox = jax.vmap(
+            lambda x, m: voxel_downsample_representative_capped(
+                x, m, icp_voxel, s_cap))(scans_xyz, scans_mask)
+        max_nvox = int(jnp.max(jnp.where(jnp.asarray(valid), nvox, 0)))
+
         return cls(
             name=data.name,
             num_nodes=n,
@@ -125,7 +145,17 @@ class SlamSession:
             descriptors=descriptors,
             node_valid=jnp.asarray(valid),
             is_base=is_base,
+            scans_icp_xyz=icp_xyz,
+            scans_icp_mask=icp_mask,
+            max_icp_voxels=max_nvox,
         )
+
+    def trim_icp_scans(self, row_cap: int) -> None:
+        """Trim the compacted ICP-filtered scans to ``row_cap`` rows
+        (lossless when ``row_cap >= max_icp_voxels``; drivers pass a shared
+        pow-2 bucket so all sessions compile to one submap shape)."""
+        self.scans_icp_xyz = self.scans_icp_xyz[:, :row_cap]
+        self.scans_icp_mask = self.scans_icp_mask[:, :row_cap]
 
 
 @partial(jax.jit, static_argnames=("out_capacity",))
@@ -150,5 +180,16 @@ def assemble_submap(
     moved = jnp.einsum("kij,ksj->ksi", R, pts, precision=jax.lax.Precision.HIGHEST) + t[:, None, :]
     flat_xyz = moved.reshape(-1, 3)
     flat_msk = msk.reshape(-1)
-    out_xyz, out_mask, _ = voxel_downsample_representative(flat_xyz, flat_msk, voxel, out_capacity)
+    # One representative point per voxel with a spatially UNIFORM density
+    # cap on overflow (PCL ``downSizeFilterICP`` analog at fixed shapes): a
+    # ±25-keyframe union can occupy more voxels than the capacity, and the
+    # previous representative+compaction path silently kept the
+    # first-capacity points in ORIGINAL order — a submap biased toward the
+    # leading neighbours.  representative_capped thins uniformly over the
+    # sorted voxels instead (real points, no centroid blur — the centroid
+    # variant measured median-15-iteration ICP and 2.4x worse ATE), and
+    # costs one key-sort + a segment_min (the old path paid three 835k-row
+    # sorts per pair — the dominant device cost of SC-loop prepare).
+    out_xyz, out_mask, _ = voxel_downsample_representative_capped(
+        flat_xyz, flat_msk, voxel, out_capacity)
     return out_xyz, out_mask

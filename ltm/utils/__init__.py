@@ -1,1 +1,8 @@
-from ltm.utils.logging import get_logger, stage_timer  # noqa: F401
+from ltm.utils.logging import (  # noqa: F401
+    count_slots,
+    current_stage,
+    get_logger,
+    reset_slot_counts,
+    slot_counts,
+    stage_timer,
+)

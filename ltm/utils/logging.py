@@ -15,6 +15,29 @@ import time
 from typing import Dict, Optional
 
 _STAGE_TIMES: Dict[str, float] = {}
+_STAGE_STACK: list = []
+_SLOT_COUNTS: Dict[str, int] = {}  # map-slots touched per stage (roofline)
+
+
+def current_stage() -> str:
+    return _STAGE_STACK[-1] if _STAGE_STACK else "<none>"
+
+
+def count_slots(n: int) -> None:
+    """Accumulate ``n`` map-slot touches (scatter/gather elements) against
+    the innermost active stage — host-side integers only, no device cost.
+    The per-stage totals feed the roofline table (slots x measured
+    ns/slot ceiling vs stage wall; see tools/roofline.py)."""
+    s = current_stage()
+    _SLOT_COUNTS[s] = _SLOT_COUNTS.get(s, 0) + int(n)
+
+
+def slot_counts() -> Dict[str, int]:
+    return dict(_SLOT_COUNTS)
+
+
+def reset_slot_counts() -> None:
+    _SLOT_COUNTS.clear()
 
 
 def get_logger(name: str = "ltm") -> logging.Logger:
@@ -41,9 +64,11 @@ def stage_timer(stage: str, logger: Optional[logging.Logger] = None):
     if sync:
         _drain_devices()
     t0 = time.perf_counter()
+    _STAGE_STACK.append(stage)
     try:
         yield
     finally:
+        _STAGE_STACK.pop()
         if sync:
             _drain_devices()
         dt = time.perf_counter() - t0
@@ -52,11 +77,17 @@ def stage_timer(stage: str, logger: Optional[logging.Logger] = None):
 
 
 def _drain_devices() -> None:
-    import jax
+    import jax.numpy as jnp
 
     try:
-        for d in jax.live_arrays():
-            d.block_until_ready()
+        # in-order barrier at ONE host round-trip: a tiny program enqueued
+        # behind all outstanding work, its result fetched (the TPU executes
+        # one program at a time in enqueue order).  Per-array
+        # block_until_ready over thousands of live buffers costs a round
+        # trip EACH on the tunnel-attached dev chip (measured ~60 s per
+        # drain mid-pipeline) — and returns early on the remote-execution
+        # backend anyway; the fetch does not.
+        float(jnp.sum(jnp.ones((1,), jnp.float32)))
     except Exception:  # pragma: no cover — profiling aid only
         pass
 
