@@ -137,6 +137,54 @@ def test_voxel_centroid_capped_overflow_uniform(rng):
     assert got[:, 0].min() < 5.0 and got[:, 0].max() > 495.0
 
 
+def test_voxel_representative_capped_under_capacity(rng):
+    # under capacity: kept SET must be exactly the representative set
+    # (first point per voxel), whatever the output order
+    pts = rng.uniform(-2, 2, size=(500, 3)).astype(np.float32)
+    mask = np.ones(500, bool)
+    mask[::7] = False
+    a = voxel.voxel_downsample_representative(jnp.asarray(pts), jnp.asarray(mask), 0.5, 512)
+    b = voxel.voxel_downsample_representative_capped(jnp.asarray(pts), jnp.asarray(mask), 0.5, 512)
+    assert int(a[2]) == int(b[2])
+    sa = np.asarray(a[0])[np.asarray(a[1])]
+    sb = np.asarray(b[0])[np.asarray(b[1])]
+    assert sa.shape == sb.shape
+    np.testing.assert_allclose(sa[np.lexsort(sa.T)], sb[np.lexsort(sb.T)], atol=0)
+
+
+def test_voxel_representative_capped_overflow_uniform(rng):
+    # 1000 occupied voxels along a line, capacity 100 -> uniform thinning of
+    # REAL input points spanning the full extent (the silent spatial-prefix
+    # truncation this replaced kept only the leading voxels — the ICP
+    # submap bug fixed in round 4)
+    pts = np.stack([np.arange(1000, dtype=np.float32) * 0.5 + 0.25,
+                    np.zeros(1000, np.float32), np.zeros(1000, np.float32)], 1)
+    out_xyz, out_mask, nvox = voxel.voxel_downsample_representative_capped(
+        jnp.asarray(pts), jnp.ones(1000, bool), 0.5, 100)
+    assert int(nvox) == 1000
+    got = np.asarray(out_xyz)[np.asarray(out_mask)]
+    assert len(got) == 100
+    assert got[:, 0].min() < 5.0 and got[:, 0].max() > 495.0
+    # every output is a REAL input point (no centroid blur)
+    assert np.isin(got[:, 0], pts[:, 0]).all()
+
+
+def test_voxel_sort_negative_and_large_coords(rng):
+    # the packed 2x int32 sort keys rebase to the masked min: negative and
+    # km-scale coordinates must group bit-identically to a NumPy oracle
+    pts = np.concatenate([
+        rng.uniform(-3000, 3000, size=(400, 3)),
+        rng.uniform(-0.5, 0.5, size=(100, 3)),
+    ]).astype(np.float32)
+    mask = np.ones(500, bool)
+    mask[::11] = False
+    keep = np.asarray(voxel.voxel_unique_mask(jnp.asarray(pts), jnp.asarray(mask), 0.25))
+    keys = np.floor(pts[mask] / 0.25).astype(np.int64)
+    n_ref = len(np.unique(keys, axis=0))
+    assert keep.sum() == n_ref
+    assert not keep[~mask].any()
+
+
 def test_voxel_unique_mask(rng):
     pts = np.array([[0.01, 0, 0], [0.02, 0, 0], [1.0, 0, 0]], np.float32)
     keep = voxel.voxel_unique_mask(jnp.asarray(pts), jnp.ones(3, bool), 0.1)
