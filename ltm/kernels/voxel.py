@@ -53,6 +53,8 @@ def _sorted_groups(coords: jax.Array, mask: jax.Array):
     key_hi = (jnp.where(mask, 0, jnp.int32(1 << 30))
               | (x << 9) | (y >> 10))
     key_lo = ((y & ((1 << 10) - 1)) << 21) | z
+    # (measured: a variadic lax.sort with num_keys=2 is NOT faster than the
+    # two lexsort passes on TPU — 1.95 vs 1.86 ms per 418k rows)
     order = jnp.lexsort((key_lo, key_hi))
     cs = c[order]
     ms = mask[order]
