@@ -607,7 +607,9 @@ class Removerter:
         sel_idx = sel_valid = None
         kb_eff = mr_t = None
         built_n = 0
-        n_cur = int(cand.sum())
+        # the candidate count drives the delta build + per-repeat rebuilds;
+        # the non-blocked (brute/mesh) path stays sync-free like before
+        n_cur = int(cand.sum()) if use_blocks else -1
         repeat_counts = [n_cur]
         if use_blocks:
             # target side: a flagged point's range is bounded by the largest
