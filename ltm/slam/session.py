@@ -61,7 +61,7 @@ class SlamSession:
     # pow-2 bucket of max_icp_voxels (see LTSlam trim; lossless)
     scans_icp_xyz: Optional[jax.Array] = None   # (N_cap, S_icp, 3)
     scans_icp_mask: Optional[jax.Array] = None  # (N_cap, S_icp)
-    max_icp_voxels: int = 0
+    _max_icp_voxels: object = 0  # device scalar until first host access
 
     @classmethod
     def from_session_data(cls, data: SessionData, cfg: LTSlamConfig, is_base: bool,
@@ -133,7 +133,11 @@ class SlamSession:
         icp_xyz, icp_mask, nvox = jax.vmap(
             lambda x, m: voxel_downsample_representative_capped(
                 x, m, icp_voxel, s_cap))(scans_xyz, scans_mask)
-        max_nvox = int(jnp.max(jnp.where(jnp.asarray(valid), nvox, 0)))
+        # max voxel count stays a DEVICE scalar: fetching it here would
+        # serialize the next session's host build behind this session's
+        # device queue; the driver fetches all sessions' maxima in one sync
+        # right before trimming (max_icp_voxels property)
+        max_nvox = jnp.max(jnp.where(jnp.asarray(valid), nvox, 0))
 
         return cls(
             name=data.name,
@@ -147,8 +151,15 @@ class SlamSession:
             is_base=is_base,
             scans_icp_xyz=icp_xyz,
             scans_icp_mask=icp_mask,
-            max_icp_voxels=max_nvox,
+            _max_icp_voxels=max_nvox,
         )
+
+    @property
+    def max_icp_voxels(self) -> int:
+        """Largest per-scan ICP-voxel count (host fetch on first access)."""
+        if not isinstance(self._max_icp_voxels, int):
+            self._max_icp_voxels = int(self._max_icp_voxels)
+        return self._max_icp_voxels
 
     def trim_icp_scans(self, row_cap: int) -> None:
         """Trim the compacted ICP-filtered scans to ``row_cap`` rows
