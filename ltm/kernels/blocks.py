@@ -188,14 +188,24 @@ def required_k_blocks(bm: BlockMap, origins: np.ndarray, max_range: float,
     that could contribute, so the culled sweep equals the whole-map sweep
     whenever ``max_range`` itself is a sound bound (see the per-call notes in
     ``ltm.removert.pipeline``)."""
-    centers = np.asarray(bm.centers)
-    radius = np.asarray(bm.radius)
-    valid = np.asarray(bm.block_valid)
+    return required_k_blocks_np(np.asarray(bm.centers), np.asarray(bm.radius),
+                                np.asarray(bm.block_valid), origins, max_range,
+                                round_to)
+
+
+def required_k_blocks_np(centers: np.ndarray, radius: np.ndarray,
+                         valid: np.ndarray, origins: np.ndarray,
+                         max_range: float, round_to: int = 128) -> int:
+    """``required_k_blocks`` on already-fetched host arrays — lets callers
+    that interleave multiple sweeps batch the device fetch of
+    (centers, radius, valid) with other pending host reads instead of
+    paying a blocking ``np.asarray`` per layout (see
+    ``Removerter._filter_strong_many``)."""
     origins = np.asarray(origins).reshape(-1, 3)
     d = np.linalg.norm(centers[None] - origins[:, None], axis=-1) - radius[None]
     need = int(((d <= max_range) & valid[None]).sum(axis=1).max(initial=0))
     need = ((need + round_to - 1) // round_to) * round_to
-    return int(min(max(need, round_to), bm.num_blocks))
+    return int(min(max(need, round_to), centers.shape[0]))
 
 
 def _select_blocks(bm: BlockMap, origin: jax.Array, max_range: float, k_blocks: int):

@@ -208,15 +208,13 @@ class Removerter:
                          nd_cand.sum(), pd_cand.sum())
 
         with stage_timer("removert.strong_weak", log):
-            nd_strong, nd_weak = self._filter_strong(
-                central, nd_cand, query, fov, reverse=True
-            )
-            # PD dispatches before the ND weak→strong propagation (which
-            # must sync on the ND repeats): the two directions' repeat
-            # sweeps then overlap on the device
-            pd_strong, pd_weak = self._filter_strong(
-                query, pd_cand, central, fov, reverse=False
-            )
+            # both directions' repeat loops run interleaved: every host
+            # count/overflow fetch overlaps the other direction's device
+            # sweeps (see _filter_strong_many)
+            (nd_strong, nd_weak), (pd_strong, pd_weak) = self._filter_strong_many([
+                (central, nd_cand, query, fov, True),
+                (query, pd_cand, central, fov, False),
+            ])
             # nested sub-stage: the 2-NN weak→strong promotion is kNN work,
             # not sweep-slot work — split so the roofline table attributes
             # the sweep repeats' wall against their slot ceiling alone
@@ -591,6 +589,56 @@ class Removerter:
         """3× visibility re-checks of a delta map against the source
         session's projected static scans (``filterStrongND``/``filterStrongPD``,
         ``Removerter.cpp:1395-1411``; reversed diff for ND per ``:516``)."""
+        (out,) = self._filter_strong_many([(sess, cand, source, fov, reverse)])
+        return out
+
+    def _filter_strong_many(self, jobs):
+        """Run several directions' strong-filter repeat loops interleaved.
+
+        Each direction's loop needs a handful of tiny host reads (survivor
+        counts for the pow-2 delta rebuilds + the empty-set exit, layout
+        overflow bits, fresh block centers) — and each read forces the host
+        to wait for that direction's previously dispatched sweep.  Run as a
+        plain sequence (round 4), those waits left the device idle for the
+        next sweep's dispatch latency (~1 s/run measured on the 29 ms-RT
+        tunnel harness).  Here every direction is a generator that YIELDS
+        the device arrays it needs fetched; this round-robin driver
+        dispatches the other directions' sweeps before fetching, so the
+        device always has queued work while the host blocks.  Same sweeps,
+        same decisions, same results — purely a dispatch reordering."""
+        gens = [self._filter_strong_steps(*j) for j in jobs]
+        results: list = [None] * len(gens)
+        pending: list = [None] * len(gens)
+        from collections import deque
+
+        live = deque()
+
+        def _advance(i, value):
+            try:
+                req = gens[i].send(value)
+            except StopIteration as e:
+                results[i] = e.value
+                return False
+            for leaf in jax.tree_util.tree_leaves(req):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()   # start D2H early
+            pending[i] = req
+            return True
+
+        for i in range(len(gens)):
+            if _advance(i, None):
+                live.append(i)
+        while live:
+            i = live.popleft()
+            if _advance(i, jax.device_get(pending[i])):
+                live.append(i)
+        return results
+
+    def _filter_strong_steps(self, sess: RemovertSession, cand: jax.Array,
+                             source: RemovertSession, fov, reverse: bool):
+        """Generator core of one ``_filter_strong`` direction: yields pytrees
+        of device arrays whose host values it needs (the caller fetches and
+        sends them back), returns (strong, weak)."""
         cfg = self.cfg
         shape = rimg_shape(fov, cfg.nd_pd_filter_resolution)
         cur = cand                       # ALWAYS original map index space
@@ -609,19 +657,21 @@ class Removerter:
         built_n = 0
         # the candidate count drives the delta build + per-repeat rebuilds;
         # the non-blocked (brute/mesh) path stays sync-free like before
-        n_cur = int(cand.sum()) if use_blocks else -1
+        n_cur = int((yield cand.sum())) if use_blocks else -1
         repeat_counts = [n_cur]
         if use_blocks:
             # target side: a flagged point's range is bounded by the largest
             # source image pixel (≤ source vis bound), plus
             # kValidDiffUpperBound when the diff is reversed (ND)
-            from ltm.kernels.blocks import required_k_blocks
+            from ltm.kernels.blocks import required_k_blocks_np
 
             from ltm.kernels.projection import VALID_DIFF_UB
 
             bound_t = self._vis_bound(source) + (VALID_DIFF_UB if reverse else 0.0)
             _, mr_t = self._kb(sess.bm, bound_t)
             bcap = sess.bm.block_capacity
+            nb = sess.bm.num_blocks
+            kb_bound = float(np.ceil(mr_t / 25.0) * 25.0)
 
             # The candidate (delta) set is typically a small fraction of the
             # map, and the map's block layout pads it further (delta points
@@ -635,25 +685,26 @@ class Removerter:
             # count halves — later sweeps then touch a pow-2-smaller layout
             # (one ~ms sort + two N-sized gathers per rebuild, amortized
             # over K keyframe sweeps).
-            def _build_delta(mask_orig, n_del):
+            def _build_delta_start(mask_orig, n_del):
                 need = max((n_del * 5 + 4 * bcap - 1) // (4 * bcap), 1)
                 nb_d = 1 << (need - 1).bit_length()
-                dbm_, ov, slots = build_block_map_with_slots(
+                return build_block_map_with_slots(
                     sess.map_xyz, mask_orig, cfg.block_cell_size, nb_d, bcap)
-                if int(ov):
-                    return None, None   # degenerate extents: map layout
-                return dbm_, slots
 
             if n_cur:
-                dbm, d_slots = _build_delta(cand, n_cur)
-                built_n = n_cur
-            if dbm is not None:
-                kb_eff = required_k_blocks(
-                    dbm, self._origins, float(np.ceil(mr_t / 25.0) * 25.0))
-            else:
+                dbm_c, ov, slots_c = _build_delta_start(cand, n_cur)
+                # one batched fetch: overflow bit + the fresh layout's block
+                # geometry (feeds the host-side k_blocks sizing)
+                ov_n, cen, rad, bv = yield (ov, dbm_c.centers, dbm_c.radius,
+                                            dbm_c.block_valid)
+                if not int(ov_n):       # overflow ⇒ degenerate extents: map layout
+                    dbm, d_slots = dbm_c, slots_c
+                    built_n = n_cur
+                    kb_eff = required_k_blocks_np(cen, rad, bv,
+                                                  self._origins, kb_bound)
+            if dbm is None:
                 kb_t, _ = self._kb(sess.bm, bound_t)
-                nb = sess.bm.num_blocks
-                n_cb = int(jnp.any(cand.reshape(nb, bcap), axis=1).sum())
+                n_cb = int((yield jnp.any(cand.reshape(nb, bcap), axis=1).sum()))
                 kb_eff = min(max(min(kb_t, ((n_cb + 127) // 128) * 128), 128), nb)
             # occlusion culling: per (keyframe, block) footprint test against
             # the source images (−thres/+UB slack keeps flags exact — see
@@ -674,7 +725,7 @@ class Removerter:
                         (bm_c.mask & cand.reshape(nb, bcap)), axis=1)
                 slack = float(VALID_DIFF_UB if reverse else -cfg.diff_threshold)
                 eff = effective_range_image(imgs, -jnp.inf)
-                survive = cull_blocks_vs_images(
+                survive = yield cull_blocks_vs_images(
                     bm_c.bmin, bm_c.bmax, candidate,
                     source.poses_inv[:Ks], eff, fov, shape, slack)
                 sel_idx, sel_valid, k_sel = compact_survivors(np.asarray(survive))
@@ -683,22 +734,23 @@ class Removerter:
                 else:
                     sel_idx = jnp.asarray(sel_idx)
                     sel_valid = jnp.asarray(sel_valid)
-        # counting survivors per repeat costs one small host sync each (a few
-        # tunnel round-trips total) but enables the pow-2 shrink rebuilds and
-        # the empty-set early exit; the mesh path keeps the sync-free fixed
-        # loop (rebuilding a sharded layout per repeat is not worth it there)
+        # survivor counts per repeat enable the pow-2 shrink rebuilds and the
+        # empty-set early exit; the mesh path keeps the sync-free fixed loop
+        # (rebuilding a sharded layout per repeat is not worth it there)
         count_repeats = use_blocks and self.mesh is None
         for r in range(cfg.nd_pd_filter_repeats):
             if count_repeats and n_cur == 0:
                 break   # nothing left to re-check (flagged ⊆ cur always)
             if (count_repeats and dbm is not None and sel_idx is None
                     and r > 0 and n_cur * 2 <= built_n):
-                new_dbm, new_slots = _build_delta(cur, n_cur)
-                if new_dbm is not None:
-                    dbm, d_slots = new_dbm, new_slots
+                dbm_c, ov, slots_c = _build_delta_start(cur, n_cur)
+                ov_n, cen, rad, bv = yield (ov, dbm_c.centers, dbm_c.radius,
+                                            dbm_c.block_valid)
+                if not int(ov_n):       # on overflow keep the old layout
+                    dbm, d_slots = dbm_c, slots_c
                     built_n = n_cur
-                    kb_eff = required_k_blocks(
-                        dbm, self._origins, float(np.ceil(mr_t / 25.0) * 25.0))
+                    kb_eff = required_k_blocks_np(cen, rad, bv,
+                                                  self._origins, kb_bound)
             if use_blocks and dbm is not None:
                 # layout-space mask of the CURRENT survivors (d_slots: orig
                 # index -> flat delta slot, sentinel = one past the end, so
@@ -763,7 +815,7 @@ class Removerter:
             weak = weak | flagged
             cur = cur & ~flagged
             if count_repeats:
-                n_cur = int(cur.sum())
+                n_cur = int((yield cur.sum()))
                 repeat_counts.append(n_cur)
         if count_repeats:
             log.info("filter_strong %s %s: candidates per repeat %s",
