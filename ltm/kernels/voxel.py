@@ -25,6 +25,27 @@ __all__ = ["voxel_coords", "voxel_downsample_centroid",
 
 _INT_SENTINEL = 2**31 - 1  # plain int: no backend init at import (pod workers)
 
+# out-of-envelope detection for the packed sort keys below (advisor r4):
+# the 21/19/21-bit per-axis clamp silently splits/merges groups at the
+# boundary voxel for surveys beyond ~210/52/210 km at 0.1 m voxels.  With
+# LTM_VOXEL_CLAMP_CHECK=1 every voxel kernel checks its rebased coords
+# against the limits on device and warns ONCE via host callback (default
+# off: the check is a branch decided at trace time, zero cost when unset).
+_CLAMP_CHECK = __import__("os").environ.get("LTM_VOXEL_CLAMP_CHECK", "0") == "1"
+_clamp_warned = False
+
+
+def _warn_if_clamped(sat) -> None:  # host-side jax.debug.callback target
+    global _clamp_warned
+    if bool(sat) and not _clamp_warned:
+        _clamp_warned = True
+        import logging
+
+        logging.getLogger("ltm.kernels.voxel").warning(
+            "voxel sort-key clamp hit: survey extent exceeds the 21/19/21-bit "
+            "per-axis envelope — groups at the boundary voxel may split/merge "
+            "(shrink the extent or raise the voxel size)")
+
 
 def voxel_coords(xyz: jax.Array, voxel: float) -> jax.Array:
     """(N, 3) float -> (N, 3) int32 voxel coordinates."""
@@ -48,6 +69,10 @@ def _sorted_groups(coords: jax.Array, mask: jax.Array):
     x = jnp.minimum(cr[:, 0], (1 << 21) - 1)
     y = jnp.minimum(cr[:, 1], (1 << 19) - 1)
     z = jnp.minimum(cr[:, 2], (1 << 21) - 1)
+    if _CLAMP_CHECK:
+        lim = jnp.asarray([(1 << 21) - 1, (1 << 19) - 1, (1 << 21) - 1])
+        sat = jnp.any(jnp.where(mask[:, None], cr, 0) > lim[None, :])
+        jax.debug.callback(_warn_if_clamped, sat)
     # 61-bit [x:21|y:19|z:21] split as hi=[invalid:1|x:21|y_hi:9],
     # lo=[y_lo:10|z:21] — both non-negative int32
     key_hi = (jnp.where(mask, 0, jnp.int32(1 << 30))

@@ -546,23 +546,24 @@ class LTSlam:
     # RS loops (info-gain)
     # ------------------------------------------------------------------
     def _anchored_jacobians(self, node_t_vars, node_s_vars, source_idx: int):
-        """Autodiff H1, H2 of the anchored residual wrt the two node poses."""
+        """Autodiff H1, H2 of the anchored residual wrt the two node poses.
+
+        One jitted program over a pow-2-padded batch: run eagerly (round 4)
+        the vmapped jacfwd dispatched every primitive individually —
+        ~100 s per RS stage on the 29 ms-RT tunnel harness for work that
+        executes in milliseconds compiled."""
         poses = self._last_poses
-
-        def resid(d1, d2, x1, x2, a1, a2, meas):
-            h1 = se3.compose(a1, se3.retract(x1, d1))
-            h2 = se3.compose(a2, se3.retract(x2, d2))
-            return se3.local(meas, se3.between(h1, h2))
-
-        x1 = poses[jnp.asarray(node_t_vars)]
-        x2 = poses[jnp.asarray(node_s_vars)]
+        n = len(node_t_vars)
+        cap = 1 << max(0, (n - 1).bit_length())   # bound recompiles
+        pad = cap - n
+        t_idx = np.asarray(list(node_t_vars) + [node_t_vars[-1]] * pad, np.int32)
+        s_idx = np.asarray(list(node_s_vars) + [node_s_vars[-1]] * pad, np.int32)
+        x1 = poses[jnp.asarray(t_idx)]
+        x2 = poses[jnp.asarray(s_idx)]
         a1 = jnp.broadcast_to(poses[self._anchor_var(0)], x1.shape)
         a2 = jnp.broadcast_to(poses[self._anchor_var(source_idx)], x2.shape)
-        meas = se3.between(se3.compose(a1, x1), se3.compose(a2, x2))
-        zero = jnp.zeros((x1.shape[0], 6), jnp.float32)
-        H1 = jax.vmap(jax.jacfwd(resid, argnums=0))(zero, zero, x1, x2, a1, a2, meas)
-        H2 = jax.vmap(jax.jacfwd(resid, argnums=1))(zero, zero, x1, x2, a1, a2, meas)
-        return H1, H2
+        H1, H2 = _anchored_jacobian_batch(x1, x2, a1, a2)
+        return H1[:n], H2[:n]
 
     def _add_rs_loops(self, source_idx: int, rs_candidates: List[int]) -> int:
         cfg = self.cfg
@@ -656,3 +657,22 @@ class LTSlam:
             central = np.einsum("ij,njk->nik", self.anchors[s_idx], local)
             write_kitti_poses(os.path.join(save_directory, f"{sess.name}_local_{postfix}.txt"), local)
             write_kitti_poses(os.path.join(save_directory, f"{sess.name}_central_{postfix}.txt"), central)
+
+
+@jax.jit
+def _anchored_jacobian_batch(x1, x2, a1, a2):
+    """Batched H1, H2 of the anchored between-residual at zero perturbation
+    (``BetweenFactorWithAnchoring.h:86-100`` evaluated by autodiff), with the
+    measurement chosen so the residual is zero at the linearization point —
+    the info-gain formula needs only the Jacobians."""
+
+    def resid(d1, d2, x1, x2, a1, a2, meas):
+        h1 = se3.compose(a1, se3.retract(x1, d1))
+        h2 = se3.compose(a2, se3.retract(x2, d2))
+        return se3.local(meas, se3.between(h1, h2))
+
+    meas = se3.between(se3.compose(a1, x1), se3.compose(a2, x2))
+    zero = jnp.zeros((x1.shape[0], 6), jnp.float32)
+    H1 = jax.vmap(jax.jacfwd(resid, argnums=0))(zero, zero, x1, x2, a1, a2, meas)
+    H2 = jax.vmap(jax.jacfwd(resid, argnums=1))(zero, zero, x1, x2, a1, a2, meas)
+    return H1, H2

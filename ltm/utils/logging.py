@@ -77,17 +77,26 @@ def stage_timer(stage: str, logger: Optional[logging.Logger] = None):
 
 
 def _drain_devices() -> None:
+    import jax
     import jax.numpy as jnp
 
     try:
-        # in-order barrier at ONE host round-trip: a tiny program enqueued
-        # behind all outstanding work, its result fetched (the TPU executes
-        # one program at a time in enqueue order).  Per-array
-        # block_until_ready over thousands of live buffers costs a round
-        # trip EACH on the tunnel-attached dev chip (measured ~60 s per
-        # drain mid-pipeline) — and returns early on the remote-execution
-        # backend anyway; the fetch does not.
-        float(jnp.sum(jnp.ones((1,), jnp.float32)))
+        # in-order barrier at ONE host round-trip PER DEVICE: a tiny
+        # program enqueued behind all outstanding work on each local
+        # device, its result fetched (a TPU executes one program at a time
+        # in enqueue order, so the fetch returns only once that device's
+        # queue has drained).  Per-array block_until_ready over thousands
+        # of live buffers costs a round trip EACH on the tunnel-attached
+        # dev chip (measured ~60 s per drain mid-pipeline) — and returns
+        # early on the remote-execution backend anyway; the fetch does
+        # not.  On mesh runs every local device gets its own probe so
+        # sharded-stage walls attribute correctly (single-probe drains
+        # only covered the default device's queue).
+        devs = jax.local_devices()
+        probes = [jax.device_put(jnp.ones((1,), jnp.float32), d) for d in devs]
+        sums = [jnp.sum(p) for p in probes]
+        for s in sums:
+            float(s)
     except Exception:  # pragma: no cover — profiling aid only
         pass
 

@@ -200,8 +200,11 @@ long ltm_read_poses(const char* path, double* out, long capacity) {
 // 2x slots is allocation-free and cache-resident per scan.
 struct VoxSlot {
     uint32_t epoch;
-    int32_t kx, ky, kz;
     int32_t cnt;
+    // full-width keys: coordinates beyond +-2^31 voxels (garbage/corrupt
+    // inputs) stay distinct voxels, matching the previous map exactly
+    // (an int32 key would alias them into shared slots)
+    int64_t kx, ky, kz;
     double sx, sy, sz;
 };
 
@@ -226,12 +229,12 @@ long ltm_voxel_downsample(const float* xyz, long n, float voxel,
     for (long p = 0; p < n; p++) {
         // identical binning expression to the previous implementation
         // (float coord promoted to double, floor, truncating cast)
-        int32_t kx = (int32_t)(int64_t)std::floor(xyz[3 * p] * inv);
-        int32_t ky = (int32_t)(int64_t)std::floor(xyz[3 * p + 1] * inv);
-        int32_t kz = (int32_t)(int64_t)std::floor(xyz[3 * p + 2] * inv);
-        uint64_t h = (uint64_t)(uint32_t)kx * 0x9E3779B97F4A7C15ull
-                   ^ (uint64_t)(uint32_t)ky * 0xC2B2AE3D27D4EB4Full
-                   ^ (uint64_t)(uint32_t)kz * 0x165667B19E3779F9ull;
+        int64_t kx = (int64_t)std::floor(xyz[3 * p] * inv);
+        int64_t ky = (int64_t)std::floor(xyz[3 * p + 1] * inv);
+        int64_t kz = (int64_t)std::floor(xyz[3 * p + 2] * inv);
+        uint64_t h = (uint64_t)kx * 0x9E3779B97F4A7C15ull
+                   ^ (uint64_t)ky * 0xC2B2AE3D27D4EB4Full
+                   ^ (uint64_t)kz * 0x165667B19E3779F9ull;
         h ^= h >> 29;
         size_t i = (size_t)h & mask;
         for (;;) {
