@@ -101,6 +101,13 @@ class SolverConfig:
     lambda_down: float = 0.3
     # Cauchy robust kernel k (reference Cauchy::Create(1), ``LTslam.cpp:130``)
     cauchy_k: float = 1.0
+    # mesh solves only — "schur": shards linearize their factor subset,
+    # ONE collective wave per LM step replicates the compact 6×6-block
+    # normal system, then every device eliminates the odometry chains
+    # locally (block-Thomas) and runs comm-free CG.  "allreduce": the
+    # matrix-free path with 2 psums per CG iteration (kept for
+    # comparison; measured collective-bound beyond n=2, PERF.md).
+    dist_mode: str = "schur"
     dtype: str = "float32"
 
 

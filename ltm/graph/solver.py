@@ -79,8 +79,63 @@ def _weighted_residual_fn(poses: jax.Array, g: GraphData, wb, wa):
     return f
 
 
+class FactorJacobians(NamedTuple):
+    """Per-factor whitened+IRLS-weighted residual Jacobian blocks at δ=0.
+
+    Validity masks and robust weights are folded in (invalid factors are
+    zero blocks), so every consumer — preconditioner assembly, explicit
+    gradient, explicit Gauss-Newton products — is a plain scatter-add.
+    Factor variable indices live in the companion ``GraphData``.
+    """
+
+    Jp: jax.Array                     # (P, 6, 6) prior ∂r/∂δ_idx
+    Jbi: jax.Array                    # (B, 6, 6) between ∂r/∂δ_i
+    Jbj: jax.Array                    # (B, 6, 6) between ∂r/∂δ_j
+    Jai: jax.Array                    # (A, 6, 6) anchored ∂r/∂δ_i
+    Jaj: jax.Array                    # (A, 6, 6) anchored ∂r/∂δ_j
+    Jaai: jax.Array                   # (A, 6, 6) anchored ∂r/∂δ_anchor_i
+    Jaaj: jax.Array                   # (A, 6, 6) anchored ∂r/∂δ_anchor_j
+
+
+def _factor_jacobians(poses: jax.Array, g: GraphData, wb, wa) -> FactorJacobians:
+    """Vmapped autodiff Jacobians of every factor family (weights folded)."""
+    # priors
+    def r_prior(d, meas, x, isg):
+        return se3.local(meas, se3.retract(x, d)) * isg
+
+    Jp = jax.vmap(jax.jacfwd(r_prior), in_axes=(0, 0, 0, 0))(
+        jnp.zeros((g.prior_idx.shape[0], 6), poses.dtype), g.prior_meas, poses[g.prior_idx], g.prior_inv_sigma
+    )
+    Jp = Jp * g.prior_valid[:, None, None]
+
+    # betweens
+    def r_bet(di, dj, meas, xi, xj, isg):
+        return se3.local(meas, se3.between(se3.retract(xi, di), se3.retract(xj, dj))) * isg
+
+    zeros_b = jnp.zeros((g.bet_i.shape[0], 6), poses.dtype)
+    Jbi = jax.vmap(jax.jacfwd(r_bet, argnums=0))(zeros_b, zeros_b, g.bet_meas, poses[g.bet_i], poses[g.bet_j], g.bet_inv_sigma)
+    Jbj = jax.vmap(jax.jacfwd(r_bet, argnums=1))(zeros_b, zeros_b, g.bet_meas, poses[g.bet_i], poses[g.bet_j], g.bet_inv_sigma)
+    wfac = (wb * g.bet_valid)[:, None, None]
+    Jbi = Jbi * wfac
+    Jbj = Jbj * wfac
+
+    # anchored betweens
+    def r_anc(di, dj, dai, daj, meas, xi, xj, xai, xaj, isg):
+        hi = se3.compose(se3.retract(xai, dai), se3.retract(xi, di))
+        hj = se3.compose(se3.retract(xaj, daj), se3.retract(xj, dj))
+        return se3.local(meas, se3.between(hi, hj)) * isg
+
+    A = g.anc_i.shape[0]
+    zeros_a = jnp.zeros((A, 6), poses.dtype)
+    args = (g.anc_meas, poses[g.anc_i], poses[g.anc_j], poses[g.anc_ai], poses[g.anc_aj], g.anc_inv_sigma)
+    wafac = (wa * g.anc_valid)[:, None, None]
+    Ja = [jax.vmap(jax.jacfwd(r_anc, argnums=argnum))(
+        zeros_a, zeros_a, zeros_a, zeros_a, *args) * wafac for argnum in range(4)]
+    return FactorJacobians(Jp, Jbi, Jbj, *Ja)
+
+
 def _precond_blocks(poses: jax.Array, g: GraphData, wb, wa, lam,
-                    axis_name=None, tridiag: bool = False):
+                    axis_name=None, tridiag: bool = False, jac: FactorJacobians = None):
     """Preconditioner blocks from per-factor autodiff Jacobians.
 
     Returns ``(D, L)``: ``D`` (V,6,6) = blockdiag(JᵀWJ) + lam·I, and — when
@@ -95,44 +150,14 @@ def _precond_blocks(poses: jax.Array, g: GraphData, wb, wa, lam,
     measured round 4); the chain preconditioner captures the long-range
     error modes the diagonal cannot."""
     V = g.num_vars
+    if jac is None:
+        jac = _factor_jacobians(poses, g, wb, wa)
+    Jp, Jbi, Jbj = jac.Jp, jac.Jbi, jac.Jbj
     blocks = jnp.zeros((V, 6, 6), poses.dtype)
-
-    # priors
-    def r_prior(d, meas, x, isg):
-        return se3.local(meas, se3.retract(x, d)) * isg
-
-    Jp = jax.vmap(jax.jacfwd(r_prior), in_axes=(0, 0, 0, 0))(
-        jnp.zeros((g.prior_idx.shape[0], 6), poses.dtype), g.prior_meas, poses[g.prior_idx], g.prior_inv_sigma
-    )
-    Jp = Jp * g.prior_valid[:, None, None]
     blocks = blocks.at[g.prior_idx].add(jnp.einsum("fij,fik->fjk", Jp, Jp, precision=jax.lax.Precision.HIGHEST))
-
-    # betweens
-    def r_bet(di, dj, meas, xi, xj, isg):
-        return se3.local(meas, se3.between(se3.retract(xi, di), se3.retract(xj, dj))) * isg
-
-    zeros_b = jnp.zeros((g.bet_i.shape[0], 6), poses.dtype)
-    Jbi = jax.vmap(jax.jacfwd(r_bet, argnums=0))(zeros_b, zeros_b, g.bet_meas, poses[g.bet_i], poses[g.bet_j], g.bet_inv_sigma)
-    Jbj = jax.vmap(jax.jacfwd(r_bet, argnums=1))(zeros_b, zeros_b, g.bet_meas, poses[g.bet_i], poses[g.bet_j], g.bet_inv_sigma)
-    wfac = (wb * g.bet_valid)[:, None, None]
-    Jbi = Jbi * wfac
-    Jbj = Jbj * wfac
     blocks = blocks.at[g.bet_i].add(jnp.einsum("fij,fik->fjk", Jbi, Jbi, precision=jax.lax.Precision.HIGHEST))
     blocks = blocks.at[g.bet_j].add(jnp.einsum("fij,fik->fjk", Jbj, Jbj, precision=jax.lax.Precision.HIGHEST))
-
-    # anchored betweens
-    def r_anc(di, dj, dai, daj, meas, xi, xj, xai, xaj, isg):
-        hi = se3.compose(se3.retract(xai, dai), se3.retract(xi, di))
-        hj = se3.compose(se3.retract(xaj, daj), se3.retract(xj, dj))
-        return se3.local(meas, se3.between(hi, hj)) * isg
-
-    A = g.anc_i.shape[0]
-    zeros_a = jnp.zeros((A, 6), poses.dtype)
-    args = (g.anc_meas, poses[g.anc_i], poses[g.anc_j], poses[g.anc_ai], poses[g.anc_aj], g.anc_inv_sigma)
-    wafac = (wa * g.anc_valid)[:, None, None]
-    for argnum, idx in ((0, g.anc_i), (1, g.anc_j), (2, g.anc_ai), (3, g.anc_aj)):
-        J = jax.vmap(jax.jacfwd(r_anc, argnums=argnum))(zeros_a, zeros_a, zeros_a, zeros_a, *args)
-        J = J * wafac
+    for J, idx in ((jac.Jai, g.anc_i), (jac.Jaj, g.anc_j), (jac.Jaai, g.anc_ai), (jac.Jaaj, g.anc_aj)):
         blocks = blocks.at[idx].add(jnp.einsum("fij,fik->fjk", J, J, precision=jax.lax.Precision.HIGHEST))
 
     L = None
@@ -220,6 +245,52 @@ def _tridiag_apply(Cinv: jax.Array, L: jax.Array, r: jax.Array) -> jax.Array:
     return x
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _grad_from_jacobians(jac: FactorJacobians, rp, rbw, raw, g: GraphData) -> jax.Array:
+    """Jᵀ r from explicit factor Jacobians (weights already folded into both
+    the Jacobians and the residuals ``rbw``/``raw``)."""
+    grad = jnp.zeros((g.num_vars, 6), rp.dtype)
+    grad = grad.at[g.prior_idx].add(jnp.einsum("fij,fi->fj", jac.Jp, rp, precision=_HI))
+    grad = grad.at[g.bet_i].add(jnp.einsum("fij,fi->fj", jac.Jbi, rbw, precision=_HI))
+    grad = grad.at[g.bet_j].add(jnp.einsum("fij,fi->fj", jac.Jbj, rbw, precision=_HI))
+    for J, idx in ((jac.Jai, g.anc_i), (jac.Jaj, g.anc_j),
+                   (jac.Jaai, g.anc_ai), (jac.Jaaj, g.anc_aj)):
+        grad = grad.at[idx].add(jnp.einsum("fij,fi->fj", J, raw, precision=_HI))
+    return grad
+
+
+def _hvp_from_jacobians(jac: FactorJacobians, g: GraphData, lam):
+    """Gauss-Newton product v ↦ (JᵀWJ + λI) v from explicit factor
+    Jacobians: per factor y_f = J_f v_{vars(f)} then scatter-add Jᵀ y_f.
+    Mathematically identical to the jvp∘vjp of the weighted residual
+    function (both are exact JᵀWJ products with IRLS weights frozen); no
+    residual-function re-evaluation per CG iteration and — the point for
+    the distributed solve — no cross-device reduction, since the Jacobian
+    set it consumes has already been reduced once per LM step."""
+
+    def hvp(v):
+        vf = _free(v, g)
+        out = jnp.zeros_like(v)
+        yp = jnp.einsum("fij,fj->fi", jac.Jp, vf[g.prior_idx], precision=_HI)
+        out = out.at[g.prior_idx].add(jnp.einsum("fij,fi->fj", jac.Jp, yp, precision=_HI))
+        yb = (jnp.einsum("fij,fj->fi", jac.Jbi, vf[g.bet_i], precision=_HI)
+              + jnp.einsum("fij,fj->fi", jac.Jbj, vf[g.bet_j], precision=_HI))
+        out = out.at[g.bet_i].add(jnp.einsum("fij,fi->fj", jac.Jbi, yb, precision=_HI))
+        out = out.at[g.bet_j].add(jnp.einsum("fij,fi->fj", jac.Jbj, yb, precision=_HI))
+        anc = ((jac.Jai, g.anc_i), (jac.Jaj, g.anc_j),
+               (jac.Jaai, g.anc_ai), (jac.Jaaj, g.anc_aj))
+        ya = jnp.zeros((jac.Jai.shape[0], 6), v.dtype)
+        for J, idx in anc:
+            ya = ya + jnp.einsum("fij,fj->fi", J, vf[idx], precision=_HI)
+        for J, idx in anc:
+            out = out.at[idx].add(jnp.einsum("fij,fi->fj", J, ya, precision=_HI))
+        return out + lam * v
+
+    return hvp
+
+
 def _make_preconditioner(poses, g: GraphData, wb, wa, lam, axis_name, precond: str):
     """Returns apply(r) -> M⁻¹ r for the configured preconditioner."""
     if precond == "tridiag":
@@ -288,19 +359,40 @@ def _lm_step_body(g: GraphData, poses, lam, cost, cg_iterations: int,
     rp, rb, ra = whitened_residuals(poses, g)
     wp, wb, wa = robust_weights(rp, rb, ra, g, cauchy_k)
 
-    f = _weighted_residual_fn(poses, g, wb, wa)
-    zero = jnp.zeros((g.num_vars, 6), poses.dtype)
-    r0, jvp_fn = jax.linearize(f, zero)
-    vjp_fn = jax.linear_transpose(jvp_fn, zero)
+    if axis_name is None:
+        # explicit-Jacobian path: one vmapped autodiff pass yields every
+        # factor block, shared by gradient, Gauss-Newton products AND the
+        # preconditioner (the matrix-free path below linearizes once for
+        # grad/hvp and then re-derives the same Jacobians inside
+        # _precond_blocks — measured 2.2x slower per LM step on the
+        # two-session bench graph, tools/scaling_bench.py n=1)
+        jac = _factor_jacobians(poses, g, wb, wa)
+        grad = _grad_from_jacobians(jac, rp, rb * wb[:, None], ra * wa[:, None], g)
+        b = -_free(grad, g)
+        hvp = _hvp_from_jacobians(jac, g, lam)
+        if precond == "tridiag":
+            D, L = _precond_blocks(poses, g, wb, wa, lam, None, tridiag=True, jac=jac)
+            Cinv = _tridiag_factor(D, L)
+            apply_prec = lambda r: _tridiag_apply(Cinv, L, r)
+        else:
+            D, _ = _precond_blocks(poses, g, wb, wa, lam, None, jac=jac)
+            minv = jnp.linalg.inv(D)
+            apply_prec = lambda r: jnp.einsum("vij,vj->vi", minv, r, precision=_HI)
+        delta, res = _pcg(hvp, b, apply_prec, g, cg_iterations, cg_tol)
+    else:
+        f = _weighted_residual_fn(poses, g, wb, wa)
+        zero = jnp.zeros((g.num_vars, 6), poses.dtype)
+        r0, jvp_fn = jax.linearize(f, zero)
+        vjp_fn = jax.linear_transpose(jvp_fn, zero)
 
-    grad = _maybe_psum(vjp_fn(r0)[0], axis_name)              # Jᵀ r
-    b = -_free(grad, g)
+        grad = _maybe_psum(vjp_fn(r0)[0], axis_name)              # Jᵀ r
+        b = -_free(grad, g)
 
-    def hvp(v):
-        return _maybe_psum(vjp_fn(jvp_fn(_free(v, g)))[0], axis_name) + lam * v
+        def hvp(v):
+            return _maybe_psum(vjp_fn(jvp_fn(_free(v, g)))[0], axis_name) + lam * v
 
-    apply_prec = _make_preconditioner(poses, g, wb, wa, lam, axis_name, precond)
-    delta, res = _pcg(hvp, b, apply_prec, g, cg_iterations, cg_tol)
+        apply_prec = _make_preconditioner(poses, g, wb, wa, lam, axis_name, precond)
+        delta, res = _pcg(hvp, b, apply_prec, g, cg_iterations, cg_tol)
 
     cand = se3.retract(poses, _free(delta, g))
     new_cost = _cost_body(g, cand, cauchy_k, axis_name)

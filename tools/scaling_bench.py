@@ -76,16 +76,32 @@ def main() -> None:
     q = jnp.asarray(rng.normal(size=(nq, 3)).astype(np.float32) * 30)
     t = jnp.asarray(rng.normal(size=(nt, 3)).astype(np.float32) * 30)
 
-    n_nodes = 64 if on_cpu else 256
-    poses0 = np.tile(np.eye(4, dtype=np.float32), (n_nodes, 1, 1))
-    poses0[:, 0, 3] = np.arange(n_nodes) + rng.normal(scale=0.05, size=n_nodes)
-    fixed = np.zeros(n_nodes, bool)
-    fixed[0] = True
+    # two-session anchored graph (the real LT-SLAM shape: [anchors, chains]
+    # + anchored inter-session loops) so the solve bench exercises every
+    # factor family, including the 4-ary anchored gathers of the schur mode
+    n_sess = 32 if on_cpu else 500
+    V = 2 + 2 * n_sess
+    poses0 = np.tile(np.eye(4, dtype=np.float32), (V, 1, 1))
+    for s in range(2):
+        off = 2 + s * n_sess
+        poses0[off:off + n_sess, 0, 3] = np.arange(n_sess) + rng.normal(scale=0.05, size=n_sess)
+    fixed = np.zeros(V, bool)
+    fixed[[0, 2, 2 + n_sess]] = True
     rel = np.eye(4)
     rel[0, 3] = 1.0
-    betweens = [(i, i + 1, rel, (1e-4,) * 6, False) for i in range(n_nodes - 1)]
-    g = build_graph_data(poses0, fixed, betweens=betweens)
+    betweens = []
+    for s in range(2):
+        off = 2 + s * n_sess
+        betweens += [(off + i, off + i + 1, rel, (1e-4,) * 6, False)
+                     for i in range(n_sess - 1)]
+    anchored = [(2 + i, 2 + n_sess + i, 0, 1, np.eye(4), (1e-4,) * 3 + (1e-3,) * 3)
+                for i in range(0, n_sess, 2)]
+    priors = [(1, np.eye(4), (np.pi ** 2,) * 3 + (1e8,) * 3)]
+    g = build_graph_data(poses0, fixed, priors=priors, betweens=betweens,
+                         anchored=anchored)
     scfg = SolverConfig(max_outer_iterations=5, cg_iterations=50)
+
+    import dataclasses
 
     base = {}
     for c in counts:
@@ -93,18 +109,50 @@ def main() -> None:
         dt_sweep = bench(lambda: sweep_discrepancy_sharded(
             mesh, map_xyz, map_mask, scans, smask, pose_inv, fov, shape))
         dt_knn = bench(lambda: knn_avg_sqdist_sharded(mesh, q, jnp.ones(nq, bool), t, jnp.ones(nt, bool)))
-        dt_solve = bench(lambda: solve_sharded(g, mesh, scfg)[0], reps=2)
-        for name, dt, unit_n, unit in (
+        rows = [
             ("sweep", dt_sweep, K, "keyframes/s"),
             ("knn", dt_knn, nq, "queries/s"),
-            ("solve", dt_solve, scfg.max_outer_iterations, "lm_iters/s"),
-        ):
+        ]
+        for mode in ("schur", "allreduce"):
+            mcfg = dataclasses.replace(scfg, dist_mode=mode)
+            dt = bench(lambda: solve_sharded(g, mesh, mcfg)[0], reps=2)
+            rows.append((f"solve_{mode}", dt, scfg.max_outer_iterations, "lm_iters/s"))
+        for name, dt, unit_n, unit in rows:
             rate = unit_n / dt
             base.setdefault(name, rate)
             print(json.dumps({
                 "kernel": name, "n_devices": c, "rate": round(rate, 1), "unit": unit,
                 "efficiency_vs_1dev": round(rate / base[name] / c, 3),
             }))
+
+    # collective complexity per LM step (the schur mode's point): count
+    # collective ops in the compiled HLO, split into inside-CG-loop
+    # (executed per CG iteration) vs one-shot per step
+    from ltm.dist.solver import _sharded_fns, pad_graph_for_mesh
+
+    mesh = make_mesh(devices)
+    gp = pad_graph_for_mesh(g, len(devices))
+    for mode in ("schur", "allreduce"):
+        step, _cost = _sharded_fns(mesh, scfg.cg_iterations, "tridiag", mode)
+        hlo = step.lower(gp, gp.poses0, jnp.float32(1e-4), jnp.float32(1.0),
+                         jnp.float32(1e-2), jnp.float32(10.0), jnp.float32(0.3),
+                         jnp.float32(1.0)).compile().as_text()
+        import re
+
+        def while_bodies(text):
+            for m in re.finditer(r"body=%?([\w\.\-]+)", text):
+                s = text.find(f"%{m.group(1)} ")
+                if s >= 0:
+                    yield text[s:text.find("\n}", s)]
+
+        names = ("all-reduce", "all-gather", "collective-permute")
+        in_loop = sum(b.count(n) for b in while_bodies(hlo) for n in names)
+        total = sum(hlo.count(n) for n in names)
+        print(json.dumps({
+            "kernel": f"solve_{mode}", "collectives_in_cg_loop": in_loop,
+            "collectives_per_step_one_shot": total - in_loop,
+            "note": "in-loop ops execute once per CG iteration (<=%d)" % scfg.cg_iterations,
+        }))
 
 
 if __name__ == "__main__":
