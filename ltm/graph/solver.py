@@ -478,16 +478,17 @@ def marginal_covariance(
     """
     rp, rb, ra = whitened_residuals(poses, g)
     _, wb, wa = robust_weights(rp, rb, ra, g, cauchy_k)
-    f = _weighted_residual_fn(poses, g, wb, wa)
-    zero = jnp.zeros((g.num_vars, 6), poses.dtype)
-    _, jvp_fn = jax.linearize(f, zero)
-    vjp_fn = jax.linear_transpose(jvp_fn, zero)
+    # explicit-Jacobian operator (see _lm_step_body): one autodiff pass
+    # shared by all 6·M unit-column CG solves and the preconditioner
+    jac = _factor_jacobians(poses, g, wb, wa)
+    hvp = _hvp_from_jacobians(jac, g, jnp.asarray(damping, poses.dtype))
+    D, L = _precond_blocks(poses, g, wb, wa,
+                           jnp.asarray(damping, poses.dtype), None,
+                           tridiag=True, jac=jac)
+    Cinv = _tridiag_factor(D, L)
 
-    def hvp(v):
-        return vjp_fn(jvp_fn(_free(v, g)))[0] + damping * v
-
-    apply_prec = _make_preconditioner(
-        poses, g, wb, wa, jnp.asarray(damping, poses.dtype), None, "tridiag")
+    def apply_prec(r):
+        return _tridiag_apply(Cinv, L, r)
 
     def solve_one(v_idx, k):
         e = jnp.zeros((g.num_vars, 6), poses.dtype).at[v_idx, k].set(1.0)

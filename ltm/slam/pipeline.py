@@ -100,11 +100,9 @@ class LTSlam:
         """Two-session central/query alignment (the reference configuration)."""
         return self.run_multi([central, query], save_directory=save_directory)
 
-    def run_multi(self, session_data: List[SessionData],
-                  save_directory: Optional[str] = None) -> LTSlamResult:
-        """Joint N-session alignment: session 0 is the base; every other
-        session is tied to it through its own anchor via SC/RS loops, and all
-        anchors+nodes optimize in one graph."""
+    def _load_sessions(self, session_data: List[SessionData]) -> None:
+        """Build ``self.sessions`` with the shared node/scan/ICP capacities
+        (one compile shape across sessions) — the ``ltslam.load`` stage."""
         cfg = self.cfg
         with stage_timer("ltslam.load", log):
             # shared node capacity (the variable layout strides by it):
@@ -142,6 +140,14 @@ class LTSlam:
                 s.trim_icp_scans(icp_cap)
         self.n_sessions = len(self.sessions)
         self.diag = {}
+
+    def run_multi(self, session_data: List[SessionData],
+                  save_directory: Optional[str] = None) -> LTSlamResult:
+        """Joint N-session alignment: session 0 is the base; every other
+        session is tied to it through its own anchor via SC/RS loops, and all
+        anchors+nodes optimize in one graph."""
+        cfg = self.cfg
+        self._load_sessions(session_data)
         n_intra = 0
         if cfg.use_intra_session_loops:
             with stage_timer("ltslam.intra_loops", log):

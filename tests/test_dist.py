@@ -71,7 +71,7 @@ def test_solve_sharded_matches_single_device(mesh):
     betweens.append((0, n - 1, rel, (1e-3,) * 6, True))
     g = build_graph_data(init, fixed, betweens=betweens)
 
-    cfg = SolverConfig(max_outer_iterations=15)
+    cfg = SolverConfig(max_outer_iterations=8)
     poses_ref, info_ref = solve(g, cfg)
     poses_sh, info_sh = solve_sharded(g, mesh, cfg)
 
@@ -133,7 +133,7 @@ def test_solve_sharded_anchored_modes_match_single(mesh, mode):
     import dataclasses
 
     g, gt = _two_session_anchored_graph()
-    cfg = dataclasses.replace(SolverConfig(max_outer_iterations=15), dist_mode=mode)
+    cfg = dataclasses.replace(SolverConfig(max_outer_iterations=8), dist_mode=mode)
     poses_ref, info_ref = solve(g, cfg)
     poses_sh, info_sh = solve_sharded(g, mesh, cfg)
 

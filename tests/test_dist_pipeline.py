@@ -42,22 +42,46 @@ MASKS = ("static_c", "dynamic_c", "static_q", "dynamic_q", "nd", "nd_strong",
          "nd_weak", "pd", "pd_strong", "updated")
 
 
-def test_removert_mesh_matches_single(bundle, cpu_devices):
+def _assert_removert_mesh_matches(bundle, cfg_fn, n_devices):
     c, q = _rm_input(bundle["central"]), _rm_input(bundle["query"])
-    res_1 = Removerter(_removert_cfg()).run(c, q)
+    res_1 = Removerter(cfg_fn()).run(c, q)
 
-    cfg = _removert_cfg()
-    cfg.mesh_devices = 8
+    cfg = cfg_fn()
+    cfg.mesh_devices = n_devices
     rm = Removerter(cfg)
-    assert rm.mesh is not None and rm.mesh.devices.size == 8
-    res_8 = rm.run(c, q)
+    assert rm.mesh is not None and rm.mesh.devices.size == n_devices
+    res_n = rm.run(c, q)
 
     for name in MASKS:
-        a, b = res_1.points(name), res_8.points(name)
+        a, b = res_1.points(name), res_n.points(name)
         assert len(a) == len(b), (name, len(a), len(b))
         a = a[np.lexsort(a.T)]
         b = b[np.lexsort(b.T)]
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
+
+
+def _removert_mesh_small_cfg():
+    cfg = RemovertConfig()
+    cfg.scan_capacity = 6144
+    cfg.downsample_voxel_size = 0.1
+    cfg.knn_avg_sqdist_threshold = 0.04
+    cfg.save_high_dyn_maps = False
+    return cfg
+
+
+def test_removert_mesh_matches_single(slam_bundle, cpu_devices):
+    """Default suite: full 8-way-mesh Removerter vs single device on the
+    module's small (4 kf / 6000 pt) fixture — the mesh-side execution on 8
+    virtual devices over this 2-core host is what dominates this test
+    (measured ~310 s even fully warm at the 6 kf / 12 k-pt scale; device
+    count changes almost nothing, data size is the lever).  The original
+    6 kf / 12 k-pt equality run stays as the slow-pass gate below."""
+    _assert_removert_mesh_matches(slam_bundle, _removert_mesh_small_cfg, 8)
+
+
+@pytest.mark.slow
+def test_removert_mesh_matches_single_full(bundle, cpu_devices):
+    _assert_removert_mesh_matches(bundle, _removert_cfg, 8)
 
 
 @pytest.mark.slow

@@ -20,7 +20,14 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_dryrun_multichip_2():
+    """Second device count for the mesh dry run — same code paths as the
+    8-way run above with different shard shapes; slow-marked (the default
+    suite keeps the 8-way run, which is the driver's actual gate)."""
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(2)

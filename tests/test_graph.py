@@ -125,14 +125,17 @@ def test_marginal_covariance_matches_dense():
     H = Jf.T @ Jf + 1e-6 * np.eye(free.sum())
     S = np.linalg.inv(H)
 
+    # one batched call (a second call with a different M re-jits the whole
+    # 6-column-CG program — ~40 s of duplicate XLA-CPU compile)
+    Sig_all = np.asarray(marginal_covariance(g, poses, jnp.asarray([1, 2, 3, 4])))
+
     var = 3
-    Sigma = np.asarray(marginal_covariance(g, poses, jnp.asarray([var])))[0]
     # block of var in free coords: free vars start at var 1
     off = (var - 1) * 6
-    np.testing.assert_allclose(Sigma, S[off : off + 6, off : off + 6], rtol=0.05, atol=1e-6)
+    np.testing.assert_allclose(Sig_all[var - 1], S[off : off + 6, off : off + 6],
+                               rtol=0.05, atol=1e-6)
 
     # covariance grows along the chain
-    Sig_all = np.asarray(marginal_covariance(g, poses, jnp.asarray([1, 2, 3, 4])))
     traces = [np.trace(Sig_all[i]) for i in range(4)]
     assert traces[0] < traces[1] < traces[2] < traces[3]
 

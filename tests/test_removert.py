@@ -1,32 +1,18 @@
-"""End-to-end LT-removert + LT-map on the synthetic ParkingLot.
+"""LT-removert path-equivalence tests on the small fixture (block vs
+flat, culled vs unculled, padded vs exact, device vs host prep) plus
+capacity-escalation guards.
 
-Exact change-detection ground truth: cars present only in the central
-session must surface as ND; cars present only in the query session as PD;
-the per-keyframe mover as high-dynamic.  (SURVEY.md §4 test pyramid level 3;
-BASELINE.json configs 2-3.)
+The full-scale quality gates (HD recall, ND/PD IoU, LT-map composition,
+artifact tree) live in tests/test_removert_quality.py — split so the xdist
+scheduler can balance the two expensive families across workers.
 """
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from ltm.core.config import RemovertConfig
-from ltm.io.synthetic import make_two_sessions, MOVER_LABEL_BASE
-from ltm.kernels.knn import nn_sqdist_argmin
+from ltm.io.synthetic import make_two_sessions
 from ltm.removert import Removerter, RemovertInput
-
-
-NUM_KF = 10
-
-
-@pytest.fixture(scope="module")
-def bundle():
-    # full-coverage scans (range covers the whole lot, no subsampling) so the
-    # two sessions observe identical static geometry — change-detection GT is
-    # then exactly the car differences + movers
-    return make_two_sessions(num_keyframes=NUM_KF, num_cars=10, num_changed=4,
-                             max_scan_points=40000, scan_range=70.0,
-                             seed=7, point_noise=0.01)
 
 
 def _input_from(syn):
@@ -40,15 +26,18 @@ def small_bundle():
     """Equality-test fixture: the path-equivalence tests (block vs flat,
     culled vs unculled, padded vs exact, device vs host prep) compare two
     pipeline configurations point-set-exactly — detection quality is not
-    scored, so they run at a fraction of the quality fixtures' scale."""
-    return make_two_sessions(num_keyframes=6, num_cars=6, num_changed=2,
-                             max_scan_points=12000, scan_range=70.0,
+    scored, so they run at a fraction of the quality fixtures' scale.
+    Shapes (4 kf / 6144-capacity scans) deliberately match
+    tests/test_dist_pipeline.py's mesh-equality fixture so the two modules'
+    single-device programs share the persistent compile cache."""
+    return make_two_sessions(num_keyframes=4, num_cars=6, num_changed=2,
+                             max_scan_points=6000, scan_range=70.0,
                              seed=11, point_noise=0.01)
 
 
 def _small_cfg():
     cfg = RemovertConfig()
-    cfg.scan_capacity = 12288
+    cfg.scan_capacity = 6144
     cfg.downsample_voxel_size = 0.1
     cfg.knn_avg_sqdist_threshold = 0.04
     cfg.save_high_dyn_maps = False
@@ -60,139 +49,6 @@ def small_result(small_bundle):
     return Removerter(_small_cfg()).run(_input_from(small_bundle["central"]),
                                         _input_from(small_bundle["query"]))
 
-
-@pytest.fixture(scope="module")
-def result(bundle, tmp_path_factory):
-    cfg = RemovertConfig()
-    cfg.max_keyframes = NUM_KF
-    cfg.scan_capacity = 40960
-    cfg.map_capacity = 1 << 17
-    cfg.downsample_voxel_size = 0.1  # coarser voxels keep the CI map small
-    # scale the kNN static-sensitivity with the voxel (reference ties 0.01 m²
-    # to 0.05 m voxels): centroids of matching points may differ ~2 voxels
-    cfg.knn_avg_sqdist_threshold = 0.04
-    cfg.keyframe_gap = 1
-    cfg.end_idx = 10_000
-    cfg.save_high_dyn_maps = False  # CPU CI: the kNN scan extraction is TPU-scale work
-    out = str(tmp_path_factory.mktemp("removert_out"))
-    res = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]), save_directory=out)
-    return res, out
-
-
-def _label_map_points(session_bundle, sess, world, car_ids):
-    """Label each map point by its nearest generated world point."""
-    from ltm.io.synthetic import ParkingLotWorld
-
-    pts, labels = world.session_points(car_ids)
-    # movers are per-keyframe; label anything not near the static+car world
-    d, idx = nn_sqdist_argmin(
-        sess.map_xyz, sess.map_mask,
-        jnp.asarray(pts, jnp.float32), jnp.ones(len(pts), bool), tile=8192,
-    )
-    d = np.asarray(d)
-    lab = labels[np.asarray(idx)]
-    lab = np.where(d < 0.1**2, lab, MOVER_LABEL_BASE)  # far from world => mover
-    return lab
-
-
-def test_high_dynamic_removal(bundle, result):
-    res, _ = result
-    world = bundle["world"]
-    c = res.central
-    lab = _label_map_points(bundle, c, world, [i for i in range(10) if i not in bundle["pd_car_ids"]])
-    mover = (lab >= MOVER_LABEL_BASE) & np.asarray(c.map_mask)
-    dynamic = np.asarray(res.masks["dynamic_c"])
-    static = np.asarray(res.masks["static_c"])
-    recall = dynamic[mover].mean() if mover.any() else 0.0
-    # static points wrongly removed
-    false_rate = dynamic[(lab == 0) & np.asarray(c.map_mask)].mean()
-    assert recall > 0.55, recall
-    assert false_rate < 0.12, false_rate
-
-
-def _geometric_gt(sess_map_xyz, sess_map_mask, other_world_pts, eligible, gone_thresh=0.3):
-    """A point truly changed iff it is far from EVERY point the other session's
-    world actually contains (robust to labeling noise and mover remnants)."""
-    d, _ = nn_sqdist_argmin(
-        sess_map_xyz, sess_map_mask,
-        jnp.asarray(other_world_pts, jnp.float32), jnp.ones(len(other_world_pts), bool),
-        tile=8192,
-    )
-    return (np.asarray(d) > gone_thresh**2) & eligible
-
-
-def test_nd_pd_detection_iou(bundle, result):
-    res, _ = result
-    world = bundle["world"]
-    nd_ids, pd_ids = bundle["nd_car_ids"], bundle["pd_car_ids"]
-
-    # --- ND: central points absent from the query session's world ---
-    q_cars = [i for i in range(10) if i not in nd_ids]
-    q_world, _ = world.session_points(q_cars)
-    eligible_c = np.asarray(res.masks["static_c"] & res.central.masks["proj_static"])
-    gt_nd = _geometric_gt(res.central.map_xyz, res.central.map_mask, q_world, eligible_c)
-    det_nd = np.asarray(res.masks["nd"])
-    iou_nd = (gt_nd & det_nd).sum() / max((gt_nd | det_nd).sum(), 1)
-
-    # --- PD: query points absent from the central session's world ---
-    c_cars = [i for i in range(10) if i not in pd_ids]
-    c_world, _ = world.session_points(c_cars)
-    eligible_q = np.asarray(res.masks["static_q"] & res.query.masks["proj_static"])
-    gt_pd = _geometric_gt(res.query.map_xyz, res.query.map_mask, c_world, eligible_q)
-    det_pd = np.asarray(res.masks["pd"])
-    iou_pd = (gt_pd & det_pd).sum() / max((gt_pd | det_pd).sum(), 1)
-
-    # full-pipeline bar (measured 0.83-0.85): structural, not tunable — the
-    # round-3 FP decomposition (PARITY.md "Root cause of the e2e IoU
-    # ceiling") measures 37% GT-band ambiguity, 29% holes from the OTHER
-    # session's HD removals (the reference's own coupling,
-    # Session.cpp:393-427), 25% scan-coverage holes; combining with
-    # use_self_removert was measured to LOWER IoU (0.77-0.81), falsifying
-    # the round-2 remedy.  The decoupled detector core meets ≥0.95
-    # (test_change_detection_core_iou).
-    assert iou_nd > 0.8, iou_nd
-    assert iou_pd > 0.8, iou_pd
-
-
-def test_updated_map_composition(bundle, result):
-    res, _ = result
-    world = bundle["world"]
-    nd_ids, pd_ids = bundle["nd_car_ids"], bundle["pd_car_ids"]
-    updated = res.points("updated")
-    assert len(updated) > 1000
-
-    # updated map should contain PD car regions (newly appeared)
-    for cid in pd_ids:
-        car = world.car_xyz[cid]
-        d = np.linalg.norm(updated[:, None, :] - car[None, :500], axis=-1).min(axis=0)
-        assert (d < 0.3).mean() > 0.5, (cid, (d < 0.3).mean())
-
-    # strong-ND car regions (disappeared) should be gone from updated map
-    gone_frac = []
-    for cid in nd_ids:
-        car = world.car_xyz[cid]
-        d = np.linalg.norm(updated[:, None, :] - car[None, :500], axis=-1).min(axis=0)
-        gone_frac.append((d < 0.1).mean())
-    assert np.mean(gone_frac) < 0.35, gone_frac
-
-
-def test_artifacts_written(result):
-    import os
-
-    res, out = result
-    for f in ("updated_map.pcd", "updated_map_strong.pcd", "nd_map.pcd", "pd_map.pcd",
-              "strong_nd_map.pcd", "weak_nd_map.pcd", "union_map_centralside.pcd",
-              "OriginalNoisyCentralMapGlobal.pcd",
-              # per-resolution snapshots (Removerter.cpp:318-338)
-              "map_static/CentralStaticMapMapsideGlobalResX2.5.pcd",
-              "map_dynamic/QueryDynamicMapMapsideGlobalResX2.5.pcd"):
-        assert os.path.exists(os.path.join(out, f)), f
-    scans = os.listdir(os.path.join(out, "scans_updated"))
-    assert len(scans) == res.central.num_keyframes
-    from ltm.io.pcd import read_pcd
-
-    pts = read_pcd(os.path.join(out, "scans_updated", scans[0]))
-    assert pts.shape[0] > 100
 
 
 def test_block_map_pipeline_matches_flat(small_bundle, small_result):
@@ -214,11 +70,13 @@ def test_block_map_pipeline_matches_flat(small_bundle, small_result):
         np.testing.assert_allclose(a, b, atol=1e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_occlusion_culling_matches_uncull(small_bundle, small_result):
     """The occlusion-culled pipeline (hierarchical-Z footprint tests,
     kernels/occlusion.py — opt-in for enclosed geometry) must reproduce the
     default pipeline's masks exactly — culling is a working-set reduction,
-    never a semantic change."""
+    never a semantic change.  Slow pass (the feature defaults OFF; the
+    occlusion kernels keep default-suite coverage in test_occlusion.py)."""
     res = small_result   # default config (culling off)
     cfg = _small_cfg()
     cfg.use_occlusion_culling = True
@@ -243,6 +101,11 @@ def test_device_scan_prep_matches_host(small_bundle):
 
     inp = _input_from(small_bundle["central"])
     cfg = _small_cfg()
+    # full density for THIS comparison: at a capacity below the per-scan
+    # voxel count both paths uniformly subsample, and their (different but
+    # individually valid) retained subsets would be compared instead of the
+    # two prep implementations
+    cfg.scan_capacity = 8192
     idx = parse_keyframe_indices(len(inp.scans), cfg.start_idx, 10_000, 1)
 
     cfg.device_scan_prep = True
@@ -252,87 +115,23 @@ def test_device_scan_prep_matches_host(small_bundle):
 
     a = np.asarray(dev.map_xyz)[np.asarray(dev.map_mask)]
     b = np.asarray(host.map_xyz)[np.asarray(host.map_mask)]
-    # voxelized IoU of the two session maps
-    va = {tuple(v) for v in np.floor(a / 0.1).astype(np.int64)}
-    vb = {tuple(v) for v in np.floor(b / 0.1).astype(np.int64)}
-    iou = len(va & vb) / len(va | vb)
-    assert iou > 0.97, iou
+    # tolerance-aware equivalence: same point budget, and every point of one
+    # map has a counterpart of the other within 1.5 voxels.  (A plain
+    # voxelized IoU was border-flip dominated on sparse fixtures: most
+    # voxels hold a single point, so a 1-ulp centroid difference at a cell
+    # border flips the cell — 0.88 "IoU" with both maps geometrically
+    # identical to within a voxel.)
+    assert abs(len(a) - len(b)) <= 0.02 * max(len(a), len(b)), (len(a), len(b))
+    import jax.numpy as jnp
 
+    from ltm.kernels.knn import nn_sqdist_argmin
 
-def test_change_detection_core_iou():
-    """The kNN-diff change-detection core meets the 0.95 IoU north star
-    (BASELINE.json) when decoupled from the two fixture confounds that are
-    not properties of the detector:
-
-      * movers off — per-keyframe transients pollute both maps' GT labels;
-      * HD removal off — the reference design queries the OTHER session's
-        post-HD static map, so false HD removals read as change (the e2e
-        test keeps that coupling and asserts the 0.8 bar).
-
-    Points whose true NN distance to the other session's world falls in the
-    ambiguity band (0.15, 0.45) m are excluded from scoring: at 0.1 m map
-    voxels + centroid shifts, the detector's effective radius
-    (sqrt(k·thr) ≈ 0.28 m) and the GT radius (0.3 m) cannot rank them
-    consistently — they are genuinely ambiguous at fixture resolution.
-    Measured: banded IoU 0.986-0.989, unbanded 0.936-0.945, recall 1.0."""
-    bundle = make_two_sessions(num_keyframes=NUM_KF, num_cars=10, num_changed=4,
-                               max_scan_points=40000, scan_range=70.0, seed=7,
-                               point_noise=0.01, with_mover=False)
-    cfg = RemovertConfig()
-    cfg.scan_capacity = 40960
-    cfg.downsample_voxel_size = 0.1
-    cfg.knn_avg_sqdist_threshold = 0.04
-    cfg.save_high_dyn_maps = False
-    cfg.remove_resolution_list = []        # static = whole map (no HD pass)
-    res = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]))
-
-    world = bundle["world"]
-    for tag, sess, mask_name, ids in (("nd", res.central, "nd", bundle["nd_car_ids"]),
-                                      ("pd", res.query, "pd", bundle["pd_car_ids"])):
-        other_cars = [i for i in range(10) if i not in ids]
-        opts, _ = world.session_points(other_cars)
-        static_name = "static_c" if tag == "nd" else "static_q"
-        elig = np.asarray(res.masks[static_name] & sess.masks["proj_static"])
-        d, _ = nn_sqdist_argmin(sess.map_xyz, sess.map_mask,
-                                jnp.asarray(opts, jnp.float32),
-                                jnp.ones(len(opts), bool), tile=8192)
-        dist = np.sqrt(np.asarray(d))
-        det = np.asarray(res.masks[mask_name])
-
-        gt_plain = (dist > 0.3) & elig
-        iou_plain = (gt_plain & det).sum() / max((gt_plain | det)[elig].sum(), 1)
-        assert iou_plain > 0.9, (tag, iou_plain)
-
-        band = (dist > 0.15) & (dist < 0.45)
-        scored = elig & ~band
-        gt = (dist >= 0.45) & scored
-        dd = det & scored
-        iou = (gt & dd).sum() / max((gt | dd).sum(), 1)
-        assert iou > 0.95, (tag, iou)
-
-
-def test_self_removert_hd_quality(bundle):
-    """The full remove->revert->remove loop (selfRemovert,
-    Removerter.cpp:1378-1393) lifts HD mover recall to ~0.99 at <0.1 false
-    rate (the remove-only default trades recall for simplicity; measured
-    0.99/0.086 on this fixture)."""
-    cfg = RemovertConfig()
-    cfg.scan_capacity = 40960
-    cfg.downsample_voxel_size = 0.1
-    cfg.knn_avg_sqdist_threshold = 0.04
-    cfg.save_high_dyn_maps = False
-    cfg.use_self_removert = True
-    res = Removerter(cfg).run(_input_from(bundle["central"]), _input_from(bundle["query"]))
-    world = bundle["world"]
-    c = res.central
-    lab = _label_map_points(bundle, c, world,
-                            [i for i in range(10) if i not in bundle["pd_car_ids"]])
-    mover = (lab >= MOVER_LABEL_BASE) & np.asarray(c.map_mask)
-    dynamic = np.asarray(res.masks["dynamic_c"])
-    recall = dynamic[mover].mean() if mover.any() else 0.0
-    false_rate = dynamic[(lab == 0) & np.asarray(c.map_mask)].mean()
-    assert recall > 0.9, recall
-    assert false_rate < 0.1, false_rate
+    for src, dst in ((a, b), (b, a)):
+        d, _ = nn_sqdist_argmin(jnp.asarray(dst), jnp.ones(len(dst), bool),
+                                jnp.asarray(src), jnp.ones(len(src), bool),
+                                tile=4096)
+        d = np.sqrt(np.asarray(d))
+        assert np.quantile(d, 0.99) < 0.15, np.quantile(d, 0.99)
 
 
 def test_no_silent_truncation():
@@ -370,12 +169,14 @@ def test_no_silent_truncation():
     assert sess2.poses.shape[0] == 64
 
 
+@pytest.mark.slow
 def test_keyframe_padding_invariance(small_bundle, small_result):
     """max_keyframes > actual keyframes must not change any result: padded
     pose entries are identity matrices — a phantom viewpoint at the global
-    origin — and must be excluded from every sweep (regression)."""
+    origin — and must be excluded from every sweep (regression; slow pass —
+    a full second pipeline run over a config-padding axis)."""
     cfg = _small_cfg()
-    cfg.max_keyframes = 6 + 6  # force padding past the real keyframe count
+    cfg.max_keyframes = 4 + 4  # force padding past the real keyframe count
     res_p = Removerter(cfg).run(_input_from(small_bundle["central"]),
                                 _input_from(small_bundle["query"]))
 

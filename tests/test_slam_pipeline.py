@@ -109,21 +109,18 @@ def test_require_converged_loop_set_parity(bundle, slam_result):
                                rtol=1e-4, atol=5e-4)
 
 
-def test_intra_session_loops_from_odometry_only_g2o(bundle):
-    """use_intra_session_loops: a session whose g2o carries only odometry
-    edges (no loop closures) gets intra-session SC+ICP loops before
-    anchoring (Scancontext.cpp:327-418), and the final alignment matches the
-    loop-edge-equipped run's quality."""
+def _strip_loops(data):
     import dataclasses
 
-    def strip_loops(data):
-        ef, et, er = data.edges
-        keep = [k for k in range(len(ef)) if abs(int(et[k]) - int(ef[k])) == 1]
-        return dataclasses.replace(
-            data, edges=(np.asarray([ef[k] for k in keep], np.int32),
-                         np.asarray([et[k] for k in keep], np.int32),
-                         [er[k] for k in keep]))
+    ef, et, er = data.edges
+    keep = [k for k in range(len(ef)) if abs(int(et[k]) - int(ef[k])) == 1]
+    return dataclasses.replace(
+        data, edges=(np.asarray([ef[k] for k in keep], np.int32),
+                     np.asarray([et[k] for k in keep], np.int32),
+                     [er[k] for k in keep]))
 
+
+def _intra_cfg():
     cfg = LTSlamConfig()
     cfg.max_nodes_per_session = 32
     cfg.scan_capacity = 6144
@@ -139,9 +136,45 @@ def test_intra_session_loops_from_odometry_only_g2o(bundle):
     # distance sits at 0.39 at this scan density; the ICP fitness gate
     # rejects false candidates, so a looser retrieval threshold is safe
     cfg.scan_context.dist_threshold = 0.45
+    return cfg
 
-    central = strip_loops(bundle["central"].data)
-    query = strip_loops(bundle["query"].data)
+
+def test_intra_session_loop_insertion(bundle):
+    """Default-suite variant: drive session load + the intra-session
+    SC-retrieval → ICP-verify → loop-edge-insert stage directly
+    (``_add_intra_session_loops``, mirroring ``detectLoopClosureID``,
+    Scancontext.cpp:327-418) on an odometry-only g2o.  Asserts real loops
+    are found, ICP-gated, and appended as g2o-convention loop edges.  The
+    full-pipeline run (anchoring + ATE quality with intra loops) is the
+    slow-pass gate below — its inter-session stages duplicate coverage the
+    module fixture already has, at ~200 s of suite wall."""
+    cfg = _intra_cfg()
+    slam = LTSlam(cfg)
+    stripped = _strip_loops(bundle["query"].data)
+    slam._load_sessions([bundle["central"].data, stripped])
+
+    n_edges_before = len(slam.sessions[1].edges[0])
+    added = slam._add_intra_session_loops(1)
+    assert added >= 1, slam.diag
+    ef, et, er = slam.sessions[1].edges
+    assert len(ef) == n_edges_before + added
+    # inserted edges are genuine loops (non-adjacent), with SE(3) measurements
+    new_f, new_t = ef[n_edges_before:], et[n_edges_before:]
+    assert all(abs(int(a) - int(b)) > 1 for a, b in zip(new_f, new_t))
+    for r in er[n_edges_before:]:
+        R = np.asarray(r)[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_intra_session_loops_from_odometry_only_g2o(bundle):
+    """use_intra_session_loops: sessions whose g2o carries only odometry
+    edges (no loop closures) get intra-session SC+ICP loops before
+    anchoring (Scancontext.cpp:327-418), and the final alignment matches the
+    loop-edge-equipped run's quality."""
+    cfg = _intra_cfg()
+    central = _strip_loops(bundle["central"].data)
+    query = _strip_loops(bundle["query"].data)
     result = LTSlam(cfg).run(central, query)
 
     n_intra = sum(v for k, v in result.diagnostics.items()
