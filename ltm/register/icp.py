@@ -317,13 +317,17 @@ def icp_batch_compacted(src_xyz, src_mask, tgt_xyz, tgt_mask,
                 T[idx], done[idx], n_it[idx], prev_mse[idx], crit[idx],
                 jnp.asarray(max_iterations), max_d2, transformation_epsilon,
                 euclidean_fitness_epsilon, iterations=segment, tile=tile)
-            n_real = width - pad
-            upd = idx[:n_real]
-            T = T.at[upd].set(out[0][:n_real])
-            done = done.at[upd].set(out[1][:n_real])
-            n_it = n_it.at[upd].set(out[2][:n_real])
-            prev_mse = prev_mse.at[upd].set(out[3][:n_real])
-            crit = crit.at[upd].set(out[4][:n_real])
+            # full-width scatter: pad entries duplicate the last real lane
+            # and its vmapped result is identical in every duplicate, so
+            # scattering all ``width`` rows writes the same values — while a
+            # ``[:n_real]``-sliced scatter compiles a NEW program per
+            # distinct n_real (one per partial-chunk size; measured seconds
+            # of compile each on a remote backend for zero device work)
+            T = T.at[idx].set(out[0])
+            done = done.at[idx].set(out[1])
+            n_it = n_it.at[idx].set(out[2])
+            prev_mse = prev_mse.at[idx].set(out[3])
+            crit = crit.at[idx].set(out[4])
         done_h = np.asarray(done)
         it_h = np.asarray(n_it)
         active = np.flatnonzero(has & ~done_h & (it_h < max_iterations))
@@ -332,6 +336,11 @@ def icp_batch_compacted(src_xyz, src_mask, tgt_xyz, tgt_mask,
     fits = []
     for c0 in range(0, B, width):
         sl = slice(c0, min(c0 + width, B))
+        if not has[sl].any():
+            # all-empty chunk (lane-bucket padding): fitness is 0 by
+            # definition and the kernel's cost is shape-fixed — skip it
+            fits.append(jnp.zeros((sl.stop - sl.start,), src_xyz.dtype))
+            continue
         fits.append(jax.vmap(partial(fitness_score, tile=tile))(
             src_xyz[sl], src_mask[sl], tgt_xyz[sl], tgt_mask[sl], T[sl]))
     fit = jnp.concatenate(fits) if fits else jnp.zeros((0,), src_xyz.dtype)

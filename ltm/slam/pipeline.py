@@ -382,12 +382,40 @@ class LTSlam:
             # (bitwise-identical results — see icp_batch_compacted)
             from ltm.register.icp import icp_batch_compacted
 
-            sx = jnp.stack([b[0] for b in pair_data])
-            sm = jnp.stack([b[1] for b in pair_data])
-            tx = jnp.stack([b[2] for b in pair_data])
-            tm = jnp.stack([b[3] for b in pair_data])
+            # Sticky pow-2 lane bucket: pad the batch with EMPTY lanes
+            # (all-False masks) so every farm invocation in a driver run
+            # shares one set of compiled programs.  The farm's bookkeeping
+            # ops (the per-chunk gathers/scatters over the B-shaped state)
+            # compile per distinct B — ~15-25 s per new batch size on the
+            # tunnel backend, which cannot reuse the persistent cache —
+            # so without the bucket the 10-pair RS farm paid a fresh
+            # compile wave to run <1 s of device work (measured).  Empty
+            # lanes are marked done before the first segment (``has`` in
+            # icp_batch_compacted) and never enter the active set, so the
+            # padding adds no device work and changes no real lane's
+            # result (test_icp.py lane-padding invariance).
+            B = len(pair_data)
+            lanes = getattr(self, "_farm_lanes", 0)
+            if B > lanes:
+                lanes = 1 << max(4, (B - 1).bit_length())
+                self._farm_lanes = lanes
+
+            def pad_lanes(x, empty: bool):
+                if lanes == x.shape[0]:
+                    return x
+                tail_shape = (lanes - x.shape[0],) + x.shape[1:]
+                tail = (jnp.zeros(tail_shape, x.dtype) if empty
+                        else jnp.broadcast_to(x[:1], tail_shape))
+                return jnp.concatenate([x, tail])
+
+            inits = pad_lanes(jnp.asarray(np.asarray(init_transforms, np.float32)),
+                              empty=False)   # pads keep a valid SE(3) value
+            sx = pad_lanes(jnp.stack([b[0] for b in pair_data]), empty=False)
+            sm = pad_lanes(jnp.stack([b[1] for b in pair_data]), empty=True)
+            tx = pad_lanes(jnp.stack([b[2] for b in pair_data]), empty=False)
+            tm = pad_lanes(jnp.stack([b[3] for b in pair_data]), empty=True)
             res = icp_batch_compacted(
-                sx, sm, tx, tm, jnp.asarray(init_transforms, jnp.float32),
+                sx, sm, tx, tm, inits,
                 max_correspondence_distance=cfg.max_correspondence_distance,
                 max_iterations=cfg.max_iterations,
                 transformation_epsilon=cfg.transformation_epsilon,
@@ -395,14 +423,14 @@ class LTSlam:
                 tile=4096, update_trim_distance=cfg.update_trim_distance,
                 segment=cfg.compaction_segment,
             )
-            it = np.asarray(res.iterations)
+            it = np.asarray(res.iterations)[:B]
             log.info("ICP iterations over %d pairs: min %d / median %d / p90 %d / max %d",
                      len(it), it.min(), int(np.median(it)),
                      int(np.percentile(it, 90)), it.max())
             T = np.asarray(res.transform)
             fit = np.asarray(res.fitness)
             conv = np.asarray(res.converged)
-            return [(T[b], float(fit[b]), bool(conv[b])) for b in range(len(pair_data))]
+            return [(T[b], float(fit[b]), bool(conv[b])) for b in range(B)]
         results = []
         iter_counts = []
         if self.mesh is not None:
@@ -621,19 +649,21 @@ class LTSlam:
         rs_pairs = self._equisample(rs_pairs, cfg.num_rs_loops_upper_bound)
 
         with stage_timer("ltslam.rs_loops.icp", log):
-            data = [
-                self._prepare_icp_pair(source_idx, src, 0, tgt, central_coords=True)
-                for (tgt, src) in rs_pairs
-            ]
-            # source cloud is in the source node's body frame; its central pose
-            # estimate serves as the ICP initial guess error — start from the
-            # current relative estimate (identity error)
-            inits = np.stack([
-                np.linalg.inv(self.anchors[0] @ target.poses_local[tgt])
-                @ (anchor_q @ source.poses_local[src])
-                for (tgt, src) in rs_pairs
-            ]).astype(np.float32)
-            results = self._run_icp_batches(data, inits)
+            with stage_timer("ltslam.rs_loops.icp.prepare", log):
+                data = [
+                    self._prepare_icp_pair(source_idx, src, 0, tgt, central_coords=True)
+                    for (tgt, src) in rs_pairs
+                ]
+                # source cloud is in the source node's body frame; its central
+                # pose estimate serves as the ICP initial guess error — start
+                # from the current relative estimate (identity error)
+                inits = np.stack([
+                    np.linalg.inv(self.anchors[0] @ target.poses_local[tgt])
+                    @ (anchor_q @ source.poses_local[src])
+                    for (tgt, src) in rs_pairs
+                ]).astype(np.float32)
+            with stage_timer("ltslam.rs_loops.icp.farm", log):
+                results = self._run_icp_batches(data, inits)
 
         added = 0
         for (tgt, src), (T_icp, fitness, conv) in zip(rs_pairs, results):

@@ -172,3 +172,19 @@ def test_icp_batch_compacted_matches_batch(rng):
     np.testing.assert_allclose(np.asarray(ref.fitness), np.asarray(got.fitness),
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(ref.criterion), np.asarray(got.criterion))
+
+    # lane-bucket padding (the sticky pow-2 farm bucket in
+    # LTSlam._run_icp_batches) fills the bucket with EMPTY lanes (all-False
+    # masks, lane-0 point data): they are retired before the first segment
+    # and the real lanes' results must be bitwise unchanged
+    pad = 16 - 5
+    srcs_p = jnp.concatenate([srcs, jnp.broadcast_to(srcs[:1], (pad, n, 3))])
+    tgts_p = jnp.concatenate([tgts, jnp.broadcast_to(tgts[:1], (pad, n, 3))])
+    masks_p = jnp.concatenate([masks, jnp.zeros((pad, n), bool)])
+    got_p = icp_batch_compacted(srcs_p, masks_p, tgts_p, masks_p,
+                                max_iterations=60, tile=1024, segment=13, width=2)
+    np.testing.assert_array_equal(np.asarray(got.iterations),
+                                  np.asarray(got_p.iterations)[:5])
+    np.testing.assert_allclose(np.asarray(got.transform),
+                               np.asarray(got_p.transform)[:5], atol=0, rtol=0)
+    assert not np.asarray(got_p.converged)[5:].any()   # pads never ran
