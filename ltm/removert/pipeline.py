@@ -98,6 +98,7 @@ class Removerter:
         self._origins = np.zeros((0, 3))
         self._kb_cache: dict = {}
         self._vis_cache: dict = {}
+        self._geom_cache: dict = {}
         # per-run fused winner images: session id -> (K, n_pix) filter-res
         # images of the projected static scans (built once in the
         # project_static stage, consumed by every strong-weak filter repeat)
@@ -155,11 +156,14 @@ class Removerter:
             self._kb_cache = {}
             self._vis_cache = {}
             self._img_cache = {}
+            self._geom_cache = {}
             from concurrent.futures import ThreadPoolExecutor
 
             ex = ThreadPoolExecutor(max_workers=1)
             f_q = ex.submit(RemovertSession.build, query_inp, cfg, "Query", q_idx)
             central = RemovertSession.build(central_inp, cfg, "Central", c_idx)
+            if central.bm is not None:
+                self._geom_prefetch(central.bm)   # D2H starts behind the build
         self._log_counts("central: %d keyframes, %d map pts",
                          central.num_keyframes, central.map_mask.sum())
 
@@ -183,6 +187,8 @@ class Removerter:
                 self._img_cache[id(central)] = imgs
             with stage_timer("removert.prep", log):
                 query = f_q.result()
+                if query.bm is not None:
+                    self._geom_prefetch(query.bm)
         finally:
             ex.shutdown(wait=True)
         self._log_counts("query: %d keyframes, %d map pts",
@@ -210,17 +216,30 @@ class Removerter:
         with stage_timer("removert.strong_weak", log):
             # both directions' repeat loops run interleaved: every host
             # count/overflow fetch overlaps the other direction's device
-            # sweeps (see _filter_strong_many)
-            (nd_strong, nd_weak), (pd_strong, pd_weak) = self._filter_strong_many([
+            # sweeps, and the ND weak→strong 2-NN promotion joins the
+            # round-robin as ND's follow-up — its kNN kernel dispatches
+            # while PD's sweeps are still repeating (see _filter_strong_many)
+            jobs = [
                 (central, nd_cand, query, fov, True),
                 (query, pd_cand, central, fov, False),
-            ])
-            # nested sub-stage: the 2-NN weak→strong promotion is kNN work,
-            # not sweep-slot work — split so the roofline table attributes
-            # the sweep repeats' wall against their slot ceiling alone
-            with stage_timer("removert.strong_weak.propagate", log):
-                nd_strong, nd_weak = self._propagate_weak_to_strong(
-                    central, nd_strong, nd_weak)
+            ]
+            sync_mode = os.environ.get("LTM_SYNC_STAGES") == "1"
+            if not sync_mode:
+                (nd_strong, nd_weak), (pd_strong, pd_weak) = \
+                    self._filter_strong_many(jobs, followups={
+                        0: lambda r: self._propagate_weak_to_strong_steps(
+                            central, *r)})
+            else:
+                # stage-sync (roofline) mode drains the device at every
+                # stage boundary, so the overlap buys nothing — run the
+                # promotion as its own sub-stage instead so the sweep
+                # repeats' wall attributes against their slot ceiling alone
+                # (same sweeps, same decisions, same results either way)
+                (nd_strong, nd_weak), (pd_strong, pd_weak) = \
+                    self._filter_strong_many(jobs)
+                with stage_timer("removert.strong_weak.propagate", log):
+                    nd_strong, nd_weak = self._propagate_weak_to_strong(
+                        central, nd_strong, nd_weak)
             # reference revertStrongPDMapPointsHavingWeakPDInNear is an empty
             # TODO (Session.cpp:447-450) — intentionally not applied here.
 
@@ -276,9 +295,7 @@ class Removerter:
         hit = self._vis_cache.get(key)
         if hit is not None:
             return hit
-        centers = np.asarray(sess.bm.centers)
-        radius = np.asarray(sess.bm.radius)
-        valid = np.asarray(sess.bm.block_valid)
+        centers, radius, valid = self._geom(sess.bm)
         if self._origins.size == 0 or not valid.any():
             b = 0.0
         else:
@@ -286,6 +303,28 @@ class Removerter:
             b = float(np.where(valid[None], d, 0.0).max())
         self._vis_cache[key] = b
         return b
+
+    def _geom(self, bm):
+        """Host copies of a layout's (centers, radius, block_valid), fetched
+        ONCE per block map — ``_kb`` is called with several distinct bounds
+        per session and each ``np.asarray`` on a device array is a blocking
+        round trip that also drains the dispatch queue mid-stage.  Start the
+        D2H copies early with :meth:`_geom_prefetch` (at session-build time)
+        so the first `_kb` barely waits."""
+        key = id(bm.xyz)
+        hit = self._geom_cache.get(key)
+        if hit is None:
+            self._geom_prefetch(bm)
+            hit = (np.asarray(bm.centers), np.asarray(bm.radius),
+                   np.asarray(bm.block_valid))
+            self._geom_cache[key] = hit
+        return hit
+
+    @staticmethod
+    def _geom_prefetch(bm) -> None:
+        for a in (bm.centers, bm.radius, bm.block_valid):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
 
     def _kb(self, bm, bound: float):
         """(k_blocks, max_range) for a sweep over ``bm`` with an exact
@@ -300,9 +339,9 @@ class Removerter:
         hit = self._kb_cache.get(key)
         if hit is not None:
             return hit
-        from ltm.kernels.blocks import required_k_blocks
+        from ltm.kernels.blocks import required_k_blocks_np
 
-        need = required_k_blocks(bm, self._origins, bound)
+        need = required_k_blocks_np(*self._geom(bm), self._origins, bound)
         if cfg.k_blocks is not None:
             need = min(max(cfg.k_blocks, need), bm.num_blocks)
         self._kb_cache[key] = (need, bound)
@@ -592,7 +631,7 @@ class Removerter:
         (out,) = self._filter_strong_many([(sess, cand, source, fov, reverse)])
         return out
 
-    def _filter_strong_many(self, jobs):
+    def _filter_strong_many(self, jobs, followups=None):
         """Run several directions' strong-filter repeat loops interleaved.
 
         Each direction's loop needs a handful of tiny host reads (survivor
@@ -605,8 +644,15 @@ class Removerter:
         the device arrays it needs fetched; this round-robin driver
         dispatches the other directions' sweeps before fetching, so the
         device always has queued work while the host blocks.  Same sweeps,
-        same decisions, same results — purely a dispatch reordering."""
+        same decisions, same results — purely a dispatch reordering.
+
+        ``followups``: optional {job index: result -> generator}.  When a
+        direction finishes, its follow-up generator (same yield protocol)
+        joins the round-robin and its return value replaces the slot's
+        result — e.g. the ND weak→strong kNN propagation dispatches while
+        the PD direction's sweeps are still repeating."""
         gens = [self._filter_strong_steps(*j) for j in jobs]
+        followups = followups or {}
         results: list = [None] * len(gens)
         pending: list = [None] * len(gens)
         from collections import deque
@@ -618,6 +664,10 @@ class Removerter:
                 req = gens[i].send(value)
             except StopIteration as e:
                 results[i] = e.value
+                fu = followups.pop(i, None)
+                if fu is not None:
+                    gens[i] = fu(e.value)
+                    return _advance(i, None)
                 return False
             for leaf in jax.tree_util.tree_leaves(req):
                 if hasattr(leaf, "copy_to_host_async"):
@@ -681,15 +731,18 @@ class Removerter:
             # masked set either way, whatever its grouping), but every sweep
             # touches only delta-packed blocks.  Because the repeats only
             # SHRINK the candidate set (weak points leave, nothing enters),
-            # the build is re-run between repeats whenever the survivor
-            # count halves — later sweeps then touch a pow-2-smaller layout
-            # (one ~ms sort + two N-sized gathers per rebuild, amortized
-            # over K keyframe sweeps).
-            def _build_delta_start(mask_orig, n_del):
+            # the build is re-run between repeats whenever the survivors fit
+            # a strictly smaller pow-2 layout — later sweeps then touch a
+            # pow-2-smaller layout (one ~ms sort + two N-sized gathers per
+            # rebuild, amortized over K keyframe sweeps).
+            def _delta_blocks(n_del):
                 need = max((n_del * 5 + 4 * bcap - 1) // (4 * bcap), 1)
-                nb_d = 1 << (need - 1).bit_length()
+                return 1 << (need - 1).bit_length()
+
+            def _build_delta_start(mask_orig, n_del):
                 return build_block_map_with_slots(
-                    sess.map_xyz, mask_orig, cfg.block_cell_size, nb_d, bcap)
+                    sess.map_xyz, mask_orig, cfg.block_cell_size,
+                    _delta_blocks(n_del), bcap)
 
             if n_cur:
                 dbm_c, ov, slots_c = _build_delta_start(cand, n_cur)
@@ -741,8 +794,12 @@ class Removerter:
         for r in range(cfg.nd_pd_filter_repeats):
             if count_repeats and n_cur == 0:
                 break   # nothing left to re-check (flagged ⊆ cur always)
+            # rebuild whenever the survivors now fit a strictly smaller pow-2
+            # layout (round 4 waited for a full halving of the COUNT, which
+            # skipped shrinks the pow-2 sizing would already realize — e.g.
+            # 487k -> 271k survivors is 4096 -> 2048 blocks, a halved sweep)
             if (count_repeats and dbm is not None and sel_idx is None
-                    and r > 0 and n_cur * 2 <= built_n):
+                    and r > 0 and _delta_blocks(n_cur) < dbm.num_blocks):
                 dbm_c, ov, slots_c = _build_delta_start(cur, n_cur)
                 ov_n, cen, rad, bv = yield (ov, dbm_c.centers, dbm_c.radius,
                                             dbm_c.block_valid)
@@ -966,10 +1023,11 @@ class Removerter:
 
     def _chunk_knn_finish(self, res, chunk_knn_sqdists, kbm, extra, clamp,
                           kb, n_blocks, query_xyz, query_mask,
-                          target_xyz, target_mask):
+                          target_xyz, target_mask, over_pre=None):
         cfg = self.cfg
         d = jnp.mean(res.sqdists, axis=-1)
-        over = np.asarray(res.chunk_overflow)
+        # callers that interleave may have fetched the overflow bits already
+        over = over_pre if over_pre is not None else np.asarray(res.chunk_overflow)
         bad = np.flatnonzero(over)
         if not bad.size:
             return d
@@ -1030,11 +1088,36 @@ class Removerter:
         """``removeWeakNDMapPointsHavingStrongNDInNear``
         (``Session.cpp:452-484``): weak points whose 2-NN average squared
         distance to the strong set is below 1 m² join the strong set."""
+        gen = self._propagate_weak_to_strong_steps(sess, strong, weak)
+        value = None
+        while True:
+            try:
+                value = jax.device_get(gen.send(value))
+            except StopIteration as e:
+                return e.value
+
+    def _propagate_weak_to_strong_steps(self, sess: RemovertSession,
+                                        strong, weak):
+        """Generator form of :meth:`_propagate_weak_to_strong` (yield
+        protocol of :meth:`_filter_strong_many`) — run as the ND direction's
+        follow-up so its chunk-kNN kernel dispatches while the PD
+        direction's filter sweeps are still repeating, and its host fetches
+        (strong count, chunk-overflow bits) overlap PD device work."""
         cfg = self.cfg
-        if not bool(strong.any()):
+        n_strong = int((yield strong.sum()))
+        if not n_strong:
             return strong, weak
-        d = self._knn_stat(sess.map_xyz, weak, sess.map_xyz, strong,
-                           target_base=sess.map_mask)
+        st = None
+        if (cfg.use_chunk_knn
+                and sess.map_xyz.shape[0] >= cfg.chunk_knn_min_targets):
+            st = self._chunk_knn_start(sess.map_xyz, weak, sess.map_xyz,
+                                       strong, target_base=sess.map_mask)
+        if st is None:
+            d = self._knn_stat(sess.map_xyz, weak, sess.map_xyz, strong,
+                               target_base=sess.map_mask)
+        else:
+            over = yield st[0].chunk_overflow
+            d = self._chunk_knn_finish(*st, over_pre=np.asarray(over))
         promote = weak & (d < cfg.weak_to_strong_sqdist_threshold)
         return strong | promote, weak & ~promote
 

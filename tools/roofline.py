@@ -107,8 +107,9 @@ def main() -> None:
     wall = time.perf_counter() - t0
     walls = stage_times()
     slots = slot_counts()
-    # the 2-NN weak→strong promotion is nested inside strong_weak but is
-    # kNN work, not sweep-slot work — attribute the outer wall without it
+    # the 2-NN weak→strong promotion is kNN work, not sweep-slot work — in
+    # sync mode the pipeline runs it as its own sub-stage (in production it
+    # interleaves with the PD sweeps); attribute the outer wall without it
     prop = walls.get("removert.strong_weak.propagate", 0.0)
     if prop and "removert.strong_weak" in walls:
         walls["removert.strong_weak"] -= prop
