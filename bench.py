@@ -13,7 +13,7 @@ exactness covered by tests/test_blocks.py).
 
 ``vs_baseline`` is the speedup over the reference's 10 keyframes/s hint.
 Prints exactly one JSON line with the headline metric plus:
-  pipeline_keyframes_per_s   median of 3 warm full-Removerter runs
+  pipeline_keyframes_per_s   median of 4 warm full-Removerter runs
   slam_keyframes_per_s       median of 3 warm full-LTSlam runs
   ate_rmse_m[_noisy_odom]    HARD-GATED: the process exits non-zero if
                              either exceeds its bound (0.10 / 0.25 m) so
@@ -172,7 +172,7 @@ def main() -> None:
 
 
 def _pipeline_bench() -> float:
-    """Keyframes/s of the FULL Removerter pipeline: median of 3 warm runs
+    """Keyframes/s of the FULL Removerter pipeline: median of 4 warm runs
     (the first, compiling run is excluded).  Median — not best-of — so the
     recorded artifact cannot sit on the wrong side of a bar by run-to-run
     tunnel variance (±0.5 s observed)."""
@@ -191,7 +191,7 @@ def _pipeline_bench() -> float:
     cfg.downsample_voxel_size = 0.1
     rm = Removerter(cfg)
     rates = []
-    for i in range(4):          # run 0 compiles; medians of runs 1-3
+    for i in range(5):          # run 0 compiles; median of runs 1-4
         t0 = time.perf_counter()
         result = rm.run(RemovertInput(scans=c_scans, poses=c_poses),
                         RemovertInput(scans=q_scans, poses=q_poses),
@@ -237,7 +237,10 @@ def _slam_bench(odom_noise: float = 5e-4, timed: bool = True,
     cfg.num_rs_loops_upper_bound = rs_loops
     dts = []
     result = None
-    for _ in range(4 if timed else 1):
+    # the RS operating point runs twice so the reported stage wall is the
+    # WARM one (the compiling run's rs_loops stage carries ~30 s of fresh
+    # ICP-farm/CG lowerings that a long-running deployment never re-pays)
+    for _ in range(4 if timed else (2 if rs_loops else 1)):
         slam = LTSlam(cfg)
         reset_stage_times()
         t0 = time.perf_counter()

@@ -737,7 +737,13 @@ class Removerter:
             # rebuild, amortized over K keyframe sweeps).
             def _delta_blocks(n_del):
                 need = max((n_del * 5 + 4 * bcap - 1) // (4 * bcap), 1)
-                return 1 << (need - 1).bit_length()
+                # floor at 64 blocks: micro-layouts (small candidate sets,
+                # e.g. lifelong steady-state rounds) would otherwise mint a
+                # fresh jit specialization per pow-2 size for sweeps that
+                # are already ~free — 64×cap slots is negligible while one
+                # TPU compile is seconds (layout size never changes
+                # decisions, only grouping/padding)
+                return max(64, 1 << (need - 1).bit_length())
 
             def _build_delta_start(mask_orig, n_del):
                 return build_block_map_with_slots(
